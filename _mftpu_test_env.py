@@ -1,0 +1,39 @@
+"""Early pytest plugin: re-exec with the axon TPU-relay hook disabled.
+
+Loaded via ``-p _mftpu_test_env`` in pytest.ini *before* pytest's fd-level
+capture starts, so the re-exec'ed child inherits the real stdout/stderr.
+See conftest.py (fallback with the same logic) for why the scrub is needed:
+the container's sitecustomize routes all XLA compilation through a remote
+TPU relay, which makes CPU unit-test compiles take minutes each.
+"""
+
+import os
+import sys
+
+_MARK = "MFTPU_TESTS_REEXEC"
+
+
+def scrubbed_env():
+    env = dict(os.environ)
+    env[_MARK] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    parts = env.get("PYTHONPATH", "").split(os.pathsep)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in parts if p and ".axon_site" not in p
+    )
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    return env
+
+
+if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(_MARK) != "1":
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        scrubbed_env(),
+    )

@@ -1,0 +1,42 @@
+"""morefusion_tpu — TPU-native multi-object 6D pose estimation & volumetric fusion.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of MoreFusion
+(CVPR 2020): differentiable 3D geometry ops, volumetric pose prediction,
+occupancy-aware refinement, multi-instance occupancy mapping, and YCB-Video
+dataset pipelines.
+
+Conventions (TPU-native, intentionally different from the Chainer reference):
+  - Voxel grids are channels-last ``(B, X, Y, Z, C)`` (reference: ``BCXYZ``)
+    so the channel dimension maps onto TPU vector lanes.
+  - All differentiable ops are pure ``jax.numpy`` functions or Pallas kernels;
+    gradients come from JAX autodiff (custom VJPs only where semantics differ).
+  - Batched code paths use ``vmap``/fixed shapes instead of per-sample loops.
+"""
+
+from . import functions  # noqa: F401
+from . import geometry  # noqa: F401
+from . import metrics  # noqa: F401
+from . import ops  # noqa: F401
+from . import utils  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy imports for heavier subpackages so `import morefusion_tpu` stays fast.
+    import importlib
+
+    if name in (
+        "models",
+        "datasets",
+        "training",
+        "parallel",
+        "contrib",
+        "simulation",
+        "extra",
+        "runtime",
+    ):
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

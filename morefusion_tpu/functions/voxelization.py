@@ -1,0 +1,219 @@
+"""Point-feature voxelization (scatter) and voxel-grid interpolation (gather).
+
+TPU-native redesign of the reference's CUDA voxelization kernels
+(``morefusion/functions/geometry/average_voxelization_3d.py``,
+``max_voxelization_3d.py``, ``interpolate_voxel_grid.py``):
+
+- The CUDA ``atomicAdd`` scatter becomes a deterministic
+  ``jax.ops.segment_sum`` over linearized voxel ids — XLA lowers this to an
+  efficient sorted-scatter on TPU and autodiff gives exactly the reference's
+  hand-written backward (gather of grad/count per point).
+- ``max_voxelization_3d``'s atomicMax-by-intensity becomes a two-pass
+  segment-max + winner-index recovery; the forward is expressed as a gather
+  from the winner so autodiff reproduces the reference backward
+  (scatter grads to winning points).
+- Trilinear interpolation is a pure 8-corner gather, differentiable w.r.t.
+  both the grid and the sample coordinates (a superset of the reference,
+  which only differentiates w.r.t. the grid).
+
+Layout: grids are channels-last ``(B, X, Y, Z, C)`` (TPU lanes = channels).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+Dims = Union[int, Sequence[int]]
+
+
+def _dims3(dimensions: Dims) -> Tuple[int, int, int]:
+    if isinstance(dimensions, int):
+        return (dimensions,) * 3
+    dims = tuple(int(d) for d in dimensions)
+    assert len(dims) == 3
+    return dims
+
+
+def _voxel_indices(points, origin, pitch, dims):
+    """Round points to integer voxel indices; also return validity mask."""
+    origin = jnp.asarray(origin, dtype=points.dtype)
+    pitch = jnp.asarray(pitch, dtype=points.dtype)
+    idx = jnp.round((points - origin) / pitch).astype(jnp.int32)  # (P, 3)
+    dims_arr = jnp.asarray(dims, dtype=jnp.int32)
+    valid = jnp.all((idx >= 0) & (idx < dims_arr), axis=-1)  # (P,)
+    return idx, valid
+
+
+def _linearize(idx, batch_indices, valid, batch_size, dims):
+    """Linear segment id per point; invalid points go to a dump segment."""
+    X, Y, Z = dims
+    lin = ((batch_indices * X + idx[:, 0]) * Y + idx[:, 1]) * Z + idx[:, 2]
+    n_voxels = batch_size * X * Y * Z
+    return jnp.where(valid, lin, n_voxels), n_voxels
+
+
+def average_voxelization_3d(
+    values: jnp.ndarray,
+    points: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    *,
+    batch_size: int,
+    origin,
+    pitch,
+    dimensions: Dims,
+    return_counts: bool = False,
+):
+    """Scatter-mean point features into a voxel grid.
+
+    Semantics match the reference
+    (``morefusion/functions/geometry/average_voxelization_3d.py:223-244``):
+    each point's feature is added to the voxel containing it (nearest-voxel
+    rounding) and each voxel is normalized by its hit count.
+
+    Args:
+      values: ``(P, C)`` per-point features (differentiable).
+      points: ``(P, 3)`` point coordinates (world/camera frame). NaN points
+        are treated as invalid and dropped (the reference raises instead —
+        we mask so the op stays jittable).
+      batch_indices: ``(P,)`` int32 batch id per point.
+      batch_size: static batch size B.
+      origin: ``(3,)`` grid origin.
+      pitch: scalar voxel size.
+      dimensions: grid dims ``(X, Y, Z)``.
+      return_counts: also return per-voxel hit counts ``(B, X, Y, Z)``.
+
+    Returns:
+      ``(B, X, Y, Z, C)`` float grid (channels-last; reference is BCXYZ).
+    """
+    dims = _dims3(dimensions)
+    X, Y, Z = dims
+    P, C = values.shape
+
+    nan_mask = ~jnp.any(jnp.isnan(points), axis=-1)
+    points = jnp.nan_to_num(points)
+    idx, valid = _voxel_indices(points, origin, pitch, dims)
+    valid = valid & nan_mask
+    lin, n_voxels = _linearize(idx, batch_indices, valid, batch_size, dims)
+
+    sums = jax.ops.segment_sum(values, lin, num_segments=n_voxels + 1)[:-1]
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), lin, num_segments=n_voxels + 1
+    )[:-1]
+    denom = jnp.maximum(counts, 1).astype(values.dtype)
+    grid = (sums / denom[:, None]).reshape(batch_size, X, Y, Z, C)
+
+    if return_counts:
+        return grid, counts.reshape(batch_size, X, Y, Z)
+    return grid
+
+
+def max_voxelization_3d(
+    values: jnp.ndarray,
+    points: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    intensities: jnp.ndarray,
+    *,
+    batch_size: int,
+    origin,
+    pitch,
+    dimensions: Dims,
+    return_indices: bool = False,
+):
+    """Scatter-max by per-point intensity: each voxel keeps the feature vector
+    of its maximum-intensity point.
+
+    Semantics match ``morefusion/functions/geometry/max_voxelization_3d.py``.
+    Winner selection is done with ``segment_max`` on intensity followed by a
+    deterministic lowest-index tie-break; the output is a gather
+    ``values[winner]`` so autodiff scatters grads back to winning points only
+    (the reference's hand-written backward).
+
+    Returns:
+      ``(B, X, Y, Z, C)`` grid; optionally winner point index per voxel
+      (``-1`` where empty), shape ``(B, X, Y, Z)``.
+    """
+    dims = _dims3(dimensions)
+    X, Y, Z = dims
+    P, C = values.shape
+
+    nan_mask = ~jnp.any(jnp.isnan(points), axis=-1)
+    points = jnp.nan_to_num(points)
+    idx, valid = _voxel_indices(points, origin, pitch, dims)
+    valid = valid & nan_mask
+    lin, n_voxels = _linearize(idx, batch_indices, valid, batch_size, dims)
+
+    neg_inf = jnp.asarray(-jnp.inf, dtype=intensities.dtype)
+    masked_int = jnp.where(valid, intensities, neg_inf)
+    seg_max = jax.ops.segment_max(
+        masked_int, lin, num_segments=n_voxels + 1
+    )[:-1]
+
+    # Winner = lowest point index achieving the segment max.
+    is_winner = valid & (intensities >= seg_max[jnp.clip(lin, 0, n_voxels - 1)])
+    point_ids = jnp.arange(P, dtype=jnp.int32)
+    winner = jax.ops.segment_min(
+        jnp.where(is_winner, point_ids, P),
+        lin,
+        num_segments=n_voxels + 1,
+    )[:-1]
+    has_winner = winner < P
+    winner_safe = jnp.where(has_winner, winner, 0)
+
+    grid = jnp.where(
+        has_winner[:, None], values[winner_safe], jnp.zeros((1, C), values.dtype)
+    ).reshape(batch_size, X, Y, Z, C)
+
+    if return_indices:
+        indices = jnp.where(has_winner, winner, -1).reshape(
+            batch_size, X, Y, Z
+        )
+        return grid, jax.lax.stop_gradient(indices)
+    return grid
+
+
+def interpolate_voxel_grid(
+    grid: jnp.ndarray,
+    points: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+) -> jnp.ndarray:
+    """Trilinear sampling of a voxel grid at continuous voxel coordinates.
+
+    Semantics match ``morefusion/functions/geometry/interpolate_voxel_grid.py``
+    (8-corner trilinear weights; out-of-bounds corners contribute zero), but
+    as a pure gather it is differentiable w.r.t. both grid and points.
+
+    Args:
+      grid: ``(B, X, Y, Z, C)`` voxel features (channels-last).
+      points: ``(P, 3)`` continuous voxel-space coordinates.
+      batch_indices: ``(P,)`` int32.
+
+    Returns:
+      ``(P, C)`` interpolated features.
+    """
+    B, X, Y, Z, C = grid.shape
+    lo = jnp.floor(points).astype(jnp.int32)  # (P, 3)
+    frac = points - lo.astype(points.dtype)  # (P, 3)
+
+    # 8 corners: offsets in {0, 1}^3.
+    offsets = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        dtype=jnp.int32,
+    )  # (8, 3)
+    corners = lo[:, None, :] + offsets[None, :, :]  # (P, 8, 3)
+
+    w = jnp.where(offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+    weights = jnp.prod(w, axis=-1)  # (P, 8)
+
+    dims_arr = jnp.asarray([X, Y, Z], dtype=jnp.int32)
+    in_bounds = jnp.all((corners >= 0) & (corners < dims_arr), axis=-1)  # (P, 8)
+    safe = jnp.clip(corners, 0, dims_arr - 1)
+
+    gathered = grid[
+        batch_indices[:, None], safe[..., 0], safe[..., 1], safe[..., 2]
+    ]  # (P, 8, C)
+    weights = jnp.where(in_bounds, weights, 0.0)
+    return jnp.einsum("pkc,pk->pc", gathered, weights.astype(gathered.dtype))

@@ -1,0 +1,4 @@
+# flake8: noqa: F401
+from .timer import timer
+from .provenance import githash
+from .provenance import get_data_path

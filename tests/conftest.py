@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated on host CPU devices (the driver
+separately dry-runs them via ``__graft_entry__.dryrun_multichip``); TPU
+hardware runs are reserved for bench.py.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere. Force CPU even if the outer
+# environment selects a TPU platform — unit tests are CPU-mesh only.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# float64 for numerical gradient checks (production code is float32; the
+# ops take their working dtype from their inputs).
+jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
