@@ -44,6 +44,7 @@ def truncated_distance_function(
     dims,
     truncation,
     return_indices: bool = False,
+    ksize: int = None,
 ):
     """Per-voxel truncated distance to the nearest point.
 
@@ -59,6 +60,9 @@ def truncated_distance_function(
       truncation: max distance (same units as points).
       return_indices: also return the winning **point** index per voxel
         (``-1`` where no point is within truncation).
+      ksize: static neighborhood size; required when ``pitch``/``truncation``
+        are traced values (e.g. under ``vmap`` with per-sample pitch), since
+        the candidate-pair shape must be static.
 
     Returns:
       ``(X, Y, Z)`` distance grid in ``[0, truncation]``.
@@ -69,16 +73,17 @@ def truncated_distance_function(
     n_voxels = X * Y * Z
     P = points.shape[0]
 
-    pitch_f = float(pitch)
-    trunc_f = float(truncation)
-    ksize = int(math.ceil(trunc_f / pitch_f))
+    pitch_t = jnp.asarray(pitch, dtype=dtype)
+    trunc_t = jnp.asarray(truncation, dtype=dtype)
+    if ksize is None:
+        ksize = int(math.ceil(float(truncation) / float(pitch)))
     if ksize % 2 == 0:
         ksize += 1
     offsets = _tdf_kernel_offsets(ksize)  # (K, 3)
     K = offsets.shape[0]
 
     origin_arr = jnp.asarray(origin, dtype=dtype)
-    ip = (points - origin_arr) / pitch_f  # (P, 3) continuous voxel coords
+    ip = (points - origin_arr) / pitch_t  # (P, 3) continuous voxel coords
     center = jnp.round(ip).astype(jnp.int32)  # (P, 3)
 
     vox = center[:, None, :] + offsets[None, :, :]  # (P, K, 3)
@@ -88,22 +93,22 @@ def truncated_distance_function(
     # Distance from each candidate voxel (integer coords) to the point
     # (continuous coords), in world units.
     delta = ip[:, None, :] - vox.astype(dtype)  # (P, K, 3)
-    dist = pitch_f * jnp.sqrt(jnp.sum(delta**2, axis=-1))  # (P, K)
+    dist = pitch_t * jnp.sqrt(jnp.sum(delta**2, axis=-1))  # (P, K)
 
-    valid = in_bounds & (dist < trunc_f)
+    valid = in_bounds & (dist < trunc_t)
     lin = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]  # (P, K)
     seg = jnp.where(valid, lin, n_voxels).reshape(-1)
 
     # Invalid candidates carry `truncation` so they never win; the dump
     # segment absorbs their (zero) gradient.
-    dist_flat = jnp.where(valid, dist, trunc_f).reshape(-1)
+    dist_flat = jnp.where(valid, dist, trunc_t).reshape(-1)
     tdf = jax.ops.segment_min(
         dist_flat, seg, num_segments=n_voxels + 1
     )[:-1]
     # Voxels hit by no candidate come out as +inf from segment_min's
     # identity; clamp them to truncation without killing gradients of real
     # minima (which are < truncation by construction).
-    tdf = jnp.minimum(tdf, trunc_f)
+    tdf = jnp.minimum(tdf, trunc_t)
     tdf = tdf.reshape(X, Y, Z)
 
     if not return_indices:
@@ -149,7 +154,10 @@ def pseudo_occupancy_voxelization(
     Returns:
       ``(grid_uniform, grid_surface, grid_inside)``, each ``(X, Y, Z)``.
     """
-    truncation = float(threshold) * float(pitch)
+    # truncation = threshold * pitch, so the neighborhood size depends only
+    # on the (static) threshold — pitch may be a traced per-sample value.
+    truncation = jnp.asarray(threshold) * jnp.asarray(pitch)
+    ksize = int(math.ceil(float(threshold)))
     tdf, indices = truncated_distance_function(
         points,
         pitch=pitch,
@@ -157,6 +165,7 @@ def pseudo_occupancy_voxelization(
         dims=dims,
         truncation=truncation,
         return_indices=True,
+        ksize=ksize,
     )
     grid = 1.0 - tdf / truncation  # [0, 1], differentiable w.r.t. points
 

@@ -1,0 +1,156 @@
+"""Batched training loss + evaluation for the pose models.
+
+TPU-native redesign of ``Model.loss``/``Model.evaluate``
+(``morefusion/contrib/singleview_3d/models/model.py:325-481``): the
+reference iterates the batch in Python, fetching CAD points per class from
+host memory each step; here the caller pre-gathers fixed-shape per-sample
+CAD point sets (``(B, N, 3)``) and everything is one vmapped graph.
+
+Loss variants match the reference flags: ``add``, ``add/add_s`` (per-class
+symmetric table), each optionally ``+occupancy``.
+
+Note on the occupancy term: the reference implementation as published is
+broken (``model.py:443-460`` calls ``pseudo_occupancy_voxelization`` without
+its ``sdf`` argument and indexes the per-point pose array with the batch
+index). We implement the paper's intent: voxelize the solid CAD points
+under the *max-confidence* predicted pose, reward intersection with the
+observed target grid and penalize intersection with known-nontarget/empty
+space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import functions as F
+
+
+def _per_sample_add(cad_points, q_true, t_true, q_pred, t_pred, symmetric):
+    """ADD (B-less): cad (N,3), true (4,)/(3,), pred (P,4)/(P,3) -> (P,)."""
+    T_true = F.transformation_matrix(q_true, t_true)  # (4, 4)
+    T_pred = F.transformation_matrix(q_pred, t_pred)  # (P, 4, 4)
+    add = F.average_distance(cad_points, T_true, T_pred, symmetric=False)
+    add_s = F.average_distance(cad_points, T_true, T_pred, symmetric=True)
+    return jnp.where(symmetric, add_s, add)
+
+
+def pose_loss(
+    *,
+    quaternion_pred,  # (B, P, 4)
+    translation_pred,  # (B, P, 3)
+    confidence_pred,  # (B, P)
+    quaternion_true,  # (B, 4)
+    translation_true,  # (B, 3)
+    cad_points,  # (B, N, 3) pre-gathered per sample class
+    symmetric,  # (B,) bool — already resolved per loss variant
+    lambda_confidence: float = 0.015,
+):
+    """DenseFusion confidence-weighted ADD(-S) loss, averaged over batch."""
+    add = jax.vmap(_per_sample_add)(
+        cad_points,
+        quaternion_true,
+        translation_true,
+        quaternion_pred,
+        translation_pred,
+        symmetric,
+    )  # (B, P)
+
+    loss = jax.vmap(
+        functools.partial(
+            F.densefusion_confidence_loss, lambda_confidence=lambda_confidence
+        )
+    )(add, confidence_pred)
+    return jnp.mean(loss)
+
+
+def occupancy_loss(
+    *,
+    quaternion_pred,  # (B, P, 4)
+    translation_pred,  # (B, P, 3)
+    confidence_pred,  # (B, P)
+    solid_points,  # (B, M, 3) padded solid CAD points (zeros where invalid)
+    solid_sdf,  # (B, M) signed distance of each solid point
+    solid_mask,  # (B, M) validity of the padding
+    pitch,  # (B,)
+    origin,  # (B, 3)
+    grid_target,  # (B, V, V, V)
+    grid_nontarget_empty,  # (B, V, V, V)
+    voxel_dim: int = 32,
+    threshold: float = 2.0,
+):
+    """Collision/occupancy consistency of the best-confidence pose."""
+    B = quaternion_pred.shape[0]
+    best = jnp.argmax(confidence_pred, axis=1)  # (B,)
+    bidx = jnp.arange(B)
+    q = quaternion_pred[bidx, best]
+    t = translation_pred[bidx, best]
+
+    def per_sample(q_i, t_i, pts, sdf, m, pitch_i, origin_i, g_tgt, g_nte):
+        T = F.transformation_matrix(q_i, t_i)
+        moved = F.transform_points(pts, T)  # (M, 3)
+        # Push padded points far outside the grid so they never land.
+        moved = jnp.where(m[:, None], moved, 1e6)
+        grid_u, _, _ = F.pseudo_occupancy_voxelization(
+            moved,
+            sdf,
+            pitch=pitch_i,
+            origin=origin_i,
+            dims=(voxel_dim,) * 3,
+            threshold=threshold,
+        )
+        reward = jnp.sum(grid_u * g_tgt) / (jnp.sum(g_tgt) + 1e-16)
+        penalty = jnp.sum(grid_u * g_nte) / (jnp.sum(grid_u) + 1e-16)
+        return penalty - reward
+
+    losses = jax.vmap(per_sample)(
+        q, t, solid_points, solid_sdf, solid_mask,
+        pitch, origin, grid_target, grid_nontarget_empty,
+    )
+    return jnp.mean(losses)
+
+
+def evaluate_add(
+    *,
+    quaternion_pred,  # (B, P, 4) or (B, 4)
+    translation_pred,
+    confidence_pred: Optional[jnp.ndarray],  # (B, P) or None
+    quaternion_true,  # (B, 4)
+    translation_true,  # (B, 3)
+    cad_points,  # (B, N, 3)
+    symmetric,  # (B,) bool class-symmetry table entries
+):
+    """Batched ADD / ADD-S / ADD-or-ADD-S of the best-confidence pose.
+
+    Mirrors ``Model.evaluate`` (``model.py:325-375``) without leaving the
+    device. Returns a dict of ``(B,)`` arrays.
+    """
+    if quaternion_pred.ndim == 3:
+        B = quaternion_pred.shape[0]
+        best = jnp.argmax(confidence_pred, axis=1)
+        bidx = jnp.arange(B)
+        quaternion_pred = quaternion_pred[bidx, best]
+        translation_pred = translation_pred[bidx, best]
+
+    def per_sample(cad, q_t, t_t, q_p, t_p):
+        T_true = F.transformation_matrix(q_t, t_t)
+        T_pred = F.transformation_matrix(q_p, t_p)[None]
+        add = F.average_distance(cad, T_true, T_pred, symmetric=False)[0]
+        add_s = F.average_distance(cad, T_true, T_pred, symmetric=True)[0]
+        return add, add_s
+
+    add, add_s = jax.vmap(per_sample)(
+        cad_points,
+        quaternion_true,
+        translation_true,
+        quaternion_pred,
+        translation_pred,
+    )
+    return {
+        "add": add,
+        "add_s": add_s,
+        "add_or_add_s": jnp.where(symmetric, add_s, add),
+    }
