@@ -1,0 +1,16 @@
+"""Datasets (layer L3): asset banks, frame sources, the instance-example
+factory, reindex materializer, loaders, and training transform."""
+
+# flake8: noqa: F401
+
+from .base import DatasetBase
+from .base import ModelsBase
+from .base import VoxelGrid
+from .procedural import ProceduralModels
+from .transform import Transform
+from .rgbd_pose_estimation.base import RGBDPoseEstimationDatasetBase
+from .rgbd_pose_estimation.synthetic import SyntheticRGBDPoseEstimationDataset
+from .rgbd_pose_estimation.reindex import reindex
+from .rgbd_pose_estimation.reindexed import RGBDPoseEstimationDatasetReIndexed
+from .rgbd_pose_estimation.reindexed import RandomSamplingDataset
+from . import ycb_video

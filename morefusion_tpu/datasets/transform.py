@@ -1,0 +1,120 @@
+"""Training transform: dtype casts + occupancy-grid boolean algebra.
+
+Port of the reference Transform
+(``examples/ycb_video/singleview_3d/train.py:35-140``): builds the
+``grid_target`` / ``grid_nontarget_empty`` pair the occupancy-aware model
+consumes, with the randomized 9-case grid-combination sampling during
+training (an occupancy-information dropout that makes the model robust to
+partial maps) and the deterministic ``empty+nontarget`` case at eval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TRAIN_CASES = (
+    "none",
+    "empty",
+    "nontarget",
+    "empty+nontarget",
+    "nontarget_full",
+    "empty+nontarget_full",
+    "other_full",
+    "nontarget_full+other_full",
+    "empty+nontarget_full+other_full",
+)
+
+
+class Transform:
+    def __init__(self, train: bool, with_occupancy: bool, seed: int = 0):
+        self._train = train
+        self._with_occupancy = with_occupancy
+        self._rng = np.random.RandomState(seed)
+
+    def __call__(self, in_data: dict) -> dict:
+        in_data = dict(in_data)
+        in_data["class_id"] = np.int32(in_data["class_id"])
+        in_data["pcd"] = in_data["pcd"].astype(np.float32)
+        in_data["quaternion_true"] = in_data["quaternion_true"].astype(
+            np.float32
+        )
+        in_data["translation_true"] = in_data["translation_true"].astype(
+            np.float32
+        )
+
+        if not self._with_occupancy:
+            for k in (
+                "pitch",
+                "origin",
+                "grid_target",
+                "grid_nontarget",
+                "grid_empty",
+                "grid_target_full",
+                "grid_nontarget_full",
+            ):
+                in_data.pop(k, None)
+            return in_data
+
+        in_data["origin"] = in_data["origin"].astype(np.float32)
+        in_data["pitch"] = np.float32(in_data["pitch"])
+
+        grid_target = in_data.pop("grid_target") > 0.5
+        grid_nontarget = in_data.pop("grid_nontarget") > 0.5
+        grid_empty = in_data.pop("grid_empty") > 0.5
+        grid_nontarget = grid_nontarget ^ grid_target
+        grid_empty = grid_empty ^ grid_target
+
+        grid_target_full = in_data.pop("grid_target_full").astype(bool)
+
+        grid_nontarget_full = in_data.pop("grid_nontarget_full")
+        nontarget_ids = np.unique(grid_nontarget_full)
+        nontarget_ids = nontarget_ids[nontarget_ids > 0]
+        if len(nontarget_ids) > 0:
+            if len(nontarget_ids) > 1:
+                nontarget_ids = self._rng.choice(
+                    nontarget_ids,
+                    size=self._rng.randint(1, len(nontarget_ids) + 1),
+                    replace=False,
+                )
+            grid_nontarget_full = np.isin(grid_nontarget_full, nontarget_ids)
+        else:
+            grid_nontarget_full = np.zeros_like(grid_target)
+        grid_nontarget_full = grid_nontarget_full ^ grid_target_full
+
+        case = (
+            self._rng.choice(TRAIN_CASES)
+            if self._train
+            else "empty+nontarget"
+        )
+
+        if case == "none":
+            grid_nontarget_empty = np.zeros_like(grid_target)
+        elif case == "empty+nontarget_full+other_full":
+            grid_nontarget_empty = ~grid_target_full
+        elif case == "empty":
+            grid_nontarget_empty = grid_empty
+        elif case == "nontarget":
+            grid_nontarget_empty = grid_nontarget
+        elif case == "empty+nontarget":
+            grid_nontarget_empty = grid_nontarget | grid_empty
+        elif case == "nontarget_full":
+            grid_nontarget_empty = grid_nontarget_full
+        elif case == "empty+nontarget_full":
+            grid_nontarget_empty = grid_empty | grid_nontarget_full
+        else:
+            grid_other_full = (
+                ~grid_target_full
+                & ~grid_nontarget_full
+                & ~grid_empty
+                & ~grid_target
+                & ~grid_nontarget
+            )
+            if case == "other_full":
+                grid_nontarget_empty = grid_other_full
+            else:
+                assert case == "nontarget_full+other_full"
+                grid_nontarget_empty = grid_nontarget_full | grid_other_full
+
+        in_data["grid_target"] = grid_target
+        in_data["grid_nontarget_empty"] = grid_nontarget_empty
+        return in_data

@@ -1,0 +1,9 @@
+# flake8: noqa: F401
+from . import class_names as _class_names_module
+from .class_names import class_names
+from .class_names import class_ids_asymmetric
+from .class_names import class_ids_symmetric
+from .class_names import class_names_asymmetric
+from .class_names import class_names_symmetric
+from .class_names import n_fg_classes
+from .class_names import symmetric_flags

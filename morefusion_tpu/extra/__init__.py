@@ -1,0 +1,4 @@
+# flake8: noqa: F401
+from . import image
+from . import render
+from . import sdf_primitives

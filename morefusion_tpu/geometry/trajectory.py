@@ -42,7 +42,8 @@ def sort_by(points: np.ndarray, key: np.ndarray) -> np.ndarray:
 
 
 def interpolate(keypoints: np.ndarray, n_points: int) -> np.ndarray:
-    """Cubic-spline interpolation through the keypoints."""
-    tck, _ = scipy.interpolate.splprep(keypoints.T, s=0)
+    """Spline interpolation through the keypoints (cubic when possible)."""
+    k = min(3, len(keypoints) - 1)
+    tck, _ = scipy.interpolate.splprep(keypoints.T, s=0, k=k)
     points = scipy.interpolate.splev(np.linspace(0, 1, n_points), tck)
     return np.array(points, dtype=np.float64).T
