@@ -22,3 +22,22 @@ from .sampling import gather_pixels
 from .sampling import masked_median
 from .sampling import sample_mask_indices
 from . import losses
+
+
+def tiny_singleview3d(n_fg_class, n_point=32, with_occupancy=False, **kw):
+    """CI-sized SingleView3D: same topology, ~100x fewer FLOPs.
+
+    For unit tests and CPU-mesh dry runs; production uses the defaults.
+    """
+    return SingleView3D(
+        n_fg_class=n_fg_class,
+        n_point=n_point,
+        with_occupancy=with_occupancy,
+        backbone_width=8,
+        psp_bottleneck=64,
+        psp_up=(32, 16, 16),
+        conv3_channels=32,
+        conv4_channels=64,
+        tower_widths=(64, 32, 16),
+        **kw,
+    )

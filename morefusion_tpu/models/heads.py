@@ -22,13 +22,14 @@ class PoseHeads(nn.Module):
     """
 
     n_fg_class: int
+    widths: tuple = (640, 256, 128)
 
     @nn.compact
     def __call__(self, feat):
         B, P, _ = feat.shape
 
         def tower(h, out_dim, name):
-            for i, width in enumerate((640, 256, 128)):
+            for i, width in enumerate(self.widths):
                 h = nn.relu(nn.Dense(width, name=f"{name}_fc{i + 1}")(h))
             return nn.Dense(out_dim, name=f"{name}_out")(h)
 

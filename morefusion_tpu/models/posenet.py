@@ -46,15 +46,25 @@ class PoseNet(nn.Module):
     n_point: int = 1000
     centerize_pcd: bool = True
     pretrained_resnet18: bool = False
+    backbone_width: int = 64
+    psp_bottleneck: int = 1024
+    psp_up: tuple = (256, 64, 64)
+    tower_widths: tuple = (640, 256, 128)
 
     def setup(self):
         if self.pretrained_resnet18:
             self.resnet_extractor = ResNet18Extractor()
         else:
-            self.resnet_extractor = DilatedResNet18()
-        self.pspnet_extractor = PSPNetExtractor()
+            self.resnet_extractor = DilatedResNet18(
+                base_width=self.backbone_width
+            )
+        self.pspnet_extractor = PSPNetExtractor(
+            bottleneck_channels=self.psp_bottleneck, up_channels=self.psp_up
+        )
         self.posenet_extractor = PoseNetExtractor()
-        self.heads = PoseHeads(n_fg_class=self.n_fg_class)
+        self.heads = PoseHeads(
+            n_fg_class=self.n_fg_class, widths=self.tower_widths
+        )
 
     def __call__(
         self,

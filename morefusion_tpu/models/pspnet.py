@@ -30,7 +30,7 @@ class PSPModule(nn.Module):
         B, H, W, C = x.shape
         hs = []
         for size in self.sizes:
-            kh, kw = H // size, W // size
+            kh, kw = max(1, H // size), max(1, W // size)
             h = nn.avg_pool(x, (kh, kw), strides=(kh, kw))
             h = nn.Conv(C, (1, 1), use_bias=False)(h)
             h = _resize_bilinear(h, H, W)
@@ -52,18 +52,23 @@ class PSPUpsample(nn.Module):
 
 
 class PSPNetExtractor(nn.Module):
-    """1/8-res 512-ch feature -> full-res 32-ch per-pixel feature."""
+    """1/8-res backbone feature -> full-res 32-ch per-pixel feature.
+
+    Defaults are the reference architecture; the channel fields exist for
+    CI-sized variants."""
 
     out_channels: int = 32
+    bottleneck_channels: int = 1024
+    up_channels: Sequence[int] = (256, 64, 64)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = PSPModule()(x)
+        h = PSPModule(out_channels=self.bottleneck_channels)(x)
         h = nn.Dropout(0.3, deterministic=not train)(h)
-        h = PSPUpsample(256)(h)
+        h = PSPUpsample(self.up_channels[0])(h)
         h = nn.Dropout(0.15, deterministic=not train)(h)
-        h = PSPUpsample(64)(h)
+        h = PSPUpsample(self.up_channels[1])(h)
         h = nn.Dropout(0.15, deterministic=not train)(h)
-        h = PSPUpsample(64)(h)
+        h = PSPUpsample(self.up_channels[2])(h)
         h = nn.Conv(self.out_channels, (1, 1))(h)
         return nn.log_softmax(h, axis=-1)

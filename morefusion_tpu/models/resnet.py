@@ -95,22 +95,26 @@ class ResBlock(nn.Module):
 
 
 class DilatedResNet(nn.Module):
-    """Norm-free dilated ResNet: 1/8-resolution, 512-channel output."""
+    """Norm-free dilated ResNet: 1/8-resolution, (8*base_width)-channel
+    output. ``base_width=64`` is the reference architecture; smaller values
+    give CI-sized variants."""
 
     blocks: Sequence[int]
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, rgb):
+        w = self.base_width
         h = normalize_rgb(rgb)
         # 1/1 -> 1/2
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False)(h)
+        h = nn.Conv(w, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False)(h)
         # 1/2 -> 1/4 (floor-mode 3x3/2 max pool, pad 1)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
-        h = ResBlock(self.blocks[0], 64, 1, 1, residual_conv=False)(h)
+        h = ResBlock(self.blocks[0], w, 1, 1, residual_conv=False)(h)
         # 1/4 -> 1/8
-        h = ResBlock(self.blocks[1], 128, 2, 1)(h)
-        h = ResBlock(self.blocks[2], 256, 1, 2)(h)
-        h = ResBlock(self.blocks[3], 512, 1, 4)(h)
+        h = ResBlock(self.blocks[1], w * 2, 2, 1)(h)
+        h = ResBlock(self.blocks[2], w * 4, 1, 2)(h)
+        h = ResBlock(self.blocks[3], w * 8, 1, 4)(h)
         return h
 
 

@@ -43,13 +43,24 @@ class SingleView3D(nn.Module):
     voxel_dim: int = 32
     with_occupancy: bool = False
     pretrained_resnet18: bool = False
+    # architecture widths (defaults = reference; shrink for CI-sized tests)
+    backbone_width: int = 64
+    psp_bottleneck: int = 1024
+    psp_up: tuple = (256, 64, 64)
+    conv3_channels: int = 256
+    conv4_channels: int = 512
+    tower_widths: tuple = (640, 256, 128)
 
     def setup(self):
         if self.pretrained_resnet18:
             self.resnet_extractor = ResNet18Extractor()
         else:
-            self.resnet_extractor = DilatedResNet18()
-        self.pspnet_extractor = PSPNetExtractor()
+            self.resnet_extractor = DilatedResNet18(
+                base_width=self.backbone_width
+            )
+        self.pspnet_extractor = PSPNetExtractor(
+            bottleneck_channels=self.psp_bottleneck, up_channels=self.psp_up
+        )
 
         self.conv1_rgb = nn.Dense(64)
         self.conv1_pcd = nn.Dense(8)
@@ -62,10 +73,18 @@ class SingleView3D(nn.Module):
                 16, (3, 3, 3), padding=[(2, 2)] * 3, kernel_dilation=(2, 2, 2)
             )
 
-        self.conv3 = nn.Conv(256, (4, 4, 4), strides=(2, 2, 2), padding=[(1, 1)] * 3)
-        self.conv4 = nn.Conv(512, (4, 4, 4), strides=(2, 2, 2), padding=[(1, 1)] * 3)
+        self.conv3 = nn.Conv(
+            self.conv3_channels, (4, 4, 4), strides=(2, 2, 2),
+            padding=[(1, 1)] * 3,
+        )
+        self.conv4 = nn.Conv(
+            self.conv4_channels, (4, 4, 4), strides=(2, 2, 2),
+            padding=[(1, 1)] * 3,
+        )
 
-        self.heads = PoseHeads(n_fg_class=self.n_fg_class)
+        self.heads = PoseHeads(
+            n_fg_class=self.n_fg_class, widths=self.tower_widths
+        )
 
     def _extract(self, values, points, grid_nontarget_empty, train):
         """Fuse point features through the voxel 3D-CNN.

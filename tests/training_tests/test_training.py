@@ -1,0 +1,145 @@
+"""Integration tests: data-parallel train/eval steps on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from morefusion_tpu import parallel, training
+from morefusion_tpu.datasets import ProceduralModels
+from morefusion_tpu.models import tiny_singleview3d
+
+
+H = W = 32
+N_CLASS = 21
+B = 8  # one per virtual device
+
+
+def _fake_batch(rng, with_occupancy=False):
+    models = ProceduralModels()
+    batch = dict(
+        class_id=rng.randint(1, N_CLASS + 1, (B,)).astype(np.int32),
+        rgb=rng.randint(0, 255, (B, H, W, 3)).astype(np.float32),
+        pcd=rng.uniform(0.2, 0.6, (B, H, W, 3)).astype(np.float32),
+        quaternion_true=np.tile(
+            np.array([1, 0, 0, 0], np.float32), (B, 1)
+        ),
+        translation_true=rng.uniform(0.3, 0.5, (B, 3)).astype(np.float32),
+        use_symmetric=np.bool_(False),
+    )
+    batch["pitch"] = np.array(
+        [models.get_voxel_pitch(32, c) for c in batch["class_id"]],
+        np.float32,
+    )
+    if with_occupancy:
+        batch["origin"] = rng.uniform(-0.2, 0.0, (B, 3)).astype(np.float32)
+        batch["grid_target"] = rng.uniform(size=(B, 32, 32, 32)).astype(
+            np.float32
+        )
+        batch["grid_nontarget_empty"] = rng.uniform(
+            size=(B, 32, 32, 32)
+        ).astype(np.float32)
+    return batch
+
+
+@pytest.mark.parametrize("with_occupancy", [False, True])
+def test_train_step_data_parallel(rng, with_occupancy):
+    assert jax.device_count() == 8
+
+    models = ProceduralModels()
+    model = tiny_singleview3d(
+        N_CLASS, n_point=32, with_occupancy=with_occupancy
+    )
+    bank = training.CadPointBank.build(
+        models, N_CLASS, n_points=64,
+        with_solid=with_occupancy, max_solid_points=256,
+    )
+    batch = _fake_batch(rng, with_occupancy)
+
+    state = training.create_train_state(
+        model, batch, jax.random.PRNGKey(0), with_occupancy=with_occupancy
+    )
+    mesh = parallel.data_mesh()
+    step = training.make_dp_train_step(
+        model, bank, mesh, with_occupancy=with_occupancy
+    )
+    state = parallel.replicate(state, mesh)
+    use_symmetric = batch.pop("use_symmetric")
+    sb = parallel.shard_batch(batch, mesh)
+
+    losses = []
+    for i in range(2):
+        state, metrics = step(state, sb, use_symmetric, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    # parameters actually update
+    assert int(state.step) == 2
+
+
+def test_eval_step_and_evaluator(rng):
+    models = ProceduralModels()
+    model = tiny_singleview3d(N_CLASS, n_point=32)
+    bank = training.CadPointBank.build(models, N_CLASS, n_points=64)
+    batch = _fake_batch(rng)
+
+    state = training.create_train_state(model, batch, jax.random.PRNGKey(0))
+    eval_step = jax.jit(training.make_eval_step(model, bank))
+    out = eval_step(
+        state.params, {k: v for k, v in batch.items() if k != "use_symmetric"}
+    )
+
+    ev = training.Evaluator()
+    ev.add_batch(out)
+    summary = ev.summarize()
+    assert "main/add/auc" in summary
+    assert "main/add_or_add_s/auc" in summary
+    assert 0.0 <= summary["main/add/auc"] <= 1.0
+
+
+def test_summarize_records_perfect():
+    class_ids = np.array([1, 1, 2, 2])
+    adds = {"add": np.zeros(4)}
+    s = training.summarize_records(class_ids, adds)
+    assert s["main/add/auc"] == pytest.approx(1.0)
+    assert s["main/add/<2cm"] == 1.0
+    assert s["main/add/auc/0001"] == pytest.approx(1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    models = ProceduralModels()
+    model = tiny_singleview3d(3, n_point=16)
+    bank = training.CadPointBank.build(models, 3, n_points=32)
+    batch = _fake_batch(rng)
+    batch["class_id"] = np.clip(batch["class_id"], 1, 3)
+
+    state = training.create_train_state(model, batch, jax.random.PRNGKey(0))
+    mgr = training.CheckpointManager(str(tmp_path))
+    mgr.save_latest(state, step=0)
+    restored = mgr.restore_latest(state)
+    assert restored is not None
+    chex_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(chex_leaf),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+    improved = mgr.save_best(state.params, "main/add/auc", 0.5)
+    assert improved
+    assert not mgr.save_best(state.params, "main/add/auc", 0.4)
+    assert mgr.save_best(state.params, "main/add/auc", 0.6)
+
+
+def test_log_report(tmp_path):
+    lr = training.LogReport(str(tmp_path))
+    lr.report({"main/loss": 1.0}, step=1, epoch=0.1)
+    lr.report({"main/loss": 0.5}, step=2, epoch=0.2)
+    import json
+
+    with open(tmp_path / "log.json") as f:
+        rows = json.load(f)
+    assert len(rows) == 2
+    assert rows[1]["main/loss"] == 0.5
+
+    training.write_args(str(tmp_path), {"lr": 1e-4})
+    args = training.load_args(str(tmp_path))
+    assert args["lr"] == 1e-4
+    assert "hostname" in args and "timestamp" in args
