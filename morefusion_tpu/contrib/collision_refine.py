@@ -1,0 +1,296 @@
+"""Joint multi-object collision-based pose refinement (ICC).
+
+TPU-native redesign of the paper's joint refiner
+(``morefusion/contrib/iterative_collision_check_link.py:9-99`` and its ROS
+driver ``collision_based_pose_refinement.py:48-233``):
+
+- all N objects' poses are one parameter tensor; per-object pseudo-
+  occupancy grids are built with ``vmap`` instead of Python loops;
+- the reference's "concatenate all other objects' points" step
+  (``:65-85``) becomes a masked all-objects voxelization per target frame
+  (the (i, j) pair interaction is one batched segment-min over N x N*M
+  candidates — no host loop, no dynamic shapes);
+- the Adam loop (alpha 0.01, translation LR x0.1, <=30 iterations with the
+  ROS node's plateau early-stop: window of 10 |dloss|, threshold 0.009,
+  3 consecutive passes) runs entirely in-graph via ``lax.scan`` with a
+  freeze mask, so one compiled program serves any convergence pattern.
+
+Loss (reference ``:91-98``): ``penalty - reward`` with
+  reward  = sum(grid_surface * grid_target) / sum(grid_target)
+  penalty = sum(grid_inside * grid_nontarget_empty') / sum(grid_inside)
+where ``grid_nontarget_empty'`` includes other objects' inside-grids.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..functions.tdf import pseudo_occupancy_voxelization
+from ..functions.transforms import transformation_matrix, transform_points
+
+_FAR = 1.0e6  # padded/masked points are pushed out of every grid
+
+
+def icc_loss(
+    quaternions,  # (N, 4)
+    translations,  # (N, 3)
+    points,  # (N, M, 3) solid CAD points (padded)
+    sdf,  # (N, M) inside-positive distances
+    point_mask,  # (N, M) bool
+    pitch,  # (N,)
+    origin,  # (N, 3)
+    grid_target,  # (N, V, V, V)
+    grid_nontarget_empty,  # (N, V, V, V)
+    obj_mask,  # (N,) bool — padded object slots
+    *,
+    voxel_dim: int = 32,
+    threshold: float = 2.0,
+    sdf_offset: float = 0.0,
+):
+    N, M, _ = points.shape
+    dims = (voxel_dim,) * 3
+
+    T = transformation_matrix(quaternions, translations)  # (N, 4, 4)
+    moved = jax.vmap(transform_points)(points, T)  # (N, M, 3)
+    valid = point_mask & obj_mask[:, None]
+    moved = jnp.where(valid[..., None], moved, _FAR)
+
+    # own grids, per object
+    def own(pts_i, sdf_i, pitch_i, origin_i):
+        return pseudo_occupancy_voxelization(
+            pts_i,
+            sdf_i,
+            pitch=pitch_i,
+            origin=origin_i,
+            dims=dims,
+            threshold=threshold,
+            sdf_offset=sdf_offset,
+        )
+
+    grid_u, grid_s, grid_i = jax.vmap(own)(moved, sdf, pitch, origin)
+
+    # other-objects inside-grids: voxelize ALL objects' points except i
+    # into frame i (matches the reference's concat of j != i points,
+    # including the shared max-normalization of the inside weights).
+    flat_pts = moved.reshape(N * M, 3)
+    flat_sdf = sdf.reshape(N * M)
+    owner = jnp.repeat(jnp.arange(N), M)  # (N*M,)
+
+    def others(i, pitch_i, origin_i):
+        sel = (owner != i)[:, None]
+        pts = jnp.where(sel, flat_pts, _FAR)
+        _, _, g_inside = pseudo_occupancy_voxelization(
+            pts,
+            flat_sdf,
+            pitch=pitch_i,
+            origin=origin_i,
+            dims=dims,
+            threshold=threshold,
+        )
+        return g_inside
+
+    grid_other = jax.vmap(others)(jnp.arange(N), pitch, origin)
+    gne = jnp.maximum(grid_nontarget_empty, grid_other)
+
+    om = obj_mask[:, None, None, None]
+    grid_s = jnp.where(om, grid_s, 0.0)
+    grid_i = jnp.where(om, grid_i, 0.0)
+    g_t = jnp.where(om, grid_target, 0.0)
+
+    reward = jnp.sum(grid_s * g_t) / jnp.maximum(jnp.sum(g_t), 1e-16)
+    penalty = jnp.sum(grid_i * gne) / jnp.maximum(jnp.sum(grid_i), 1e-16)
+    return penalty - reward
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "voxel_dim", "threshold", "sdf_offset", "iterations", "alpha",
+        "early_stop",
+    ),
+)
+def refine_collision(
+    quaternions,
+    translations,
+    points,
+    sdf,
+    point_mask,
+    pitch,
+    origin,
+    grid_target,
+    grid_nontarget_empty,
+    obj_mask=None,
+    *,
+    voxel_dim: int = 32,
+    threshold: float = 2.0,
+    sdf_offset: float = 0.0,
+    iterations: int = 30,
+    alpha: float = 0.01,
+    early_stop: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jointly refine all object poses.
+
+    Returns (quaternions, translations, losses (iterations,),
+    n_effective_iterations). With ``early_stop``, iterations after the
+    plateau condition fires keep the parameters frozen (same compiled
+    program for every convergence pattern).
+    """
+    N = quaternions.shape[0]
+    if obj_mask is None:
+        obj_mask = jnp.ones((N,), bool)
+
+    params = {
+        "quaternion": jnp.asarray(quaternions, jnp.float32),
+        "translation": jnp.asarray(translations, jnp.float32),
+    }
+    tx = optax.multi_transform(
+        {"q": optax.adam(alpha), "t": optax.adam(alpha * 0.1)},
+        {"quaternion": "q", "translation": "t"},
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return icc_loss(
+            p["quaternion"],
+            p["translation"],
+            points,
+            sdf,
+            point_mask,
+            pitch,
+            origin,
+            grid_target,
+            grid_nontarget_empty,
+            obj_mask,
+            voxel_dim=voxel_dim,
+            threshold=threshold,
+            sdf_offset=sdf_offset,
+        )
+
+    # plateau observer state (ROS node LossObserver, :18-45): deque of the
+    # last 10 |delta loss|; stop after 3 consecutive iterations whose
+    # max-delta < 0.009.
+    deltas0 = jnp.full((10,), jnp.inf, jnp.float32)
+
+    def step(carry, _):
+        params, opt_state, last, deltas, n_passed, stopped, n_iter = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        deltas = jnp.roll(deltas, -1).at[-1].set(jnp.abs(last - loss))
+        max_delta = jnp.max(deltas)
+        n_passed = jnp.where(max_delta < 0.009, n_passed + 1, 0)
+        stop_now = early_stop & (n_passed >= 3)
+
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, b, a), new, old
+        )
+        params = keep(new_params, params)
+        opt_state = keep(opt_state2, opt_state)
+        n_iter = n_iter + jnp.where(stopped, 0, 1)
+        stopped = stopped | stop_now
+        return (
+            params, opt_state, loss, deltas, n_passed, stopped, n_iter
+        ), loss
+
+    init = (
+        params,
+        opt_state,
+        jnp.asarray(jnp.inf, jnp.float32),
+        deltas0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    (params, _, _, _, _, _, n_iter), losses = jax.lax.scan(
+        step, init, None, length=iterations
+    )
+    return params["quaternion"], params["translation"], losses, n_iter
+
+
+class IterativeCollisionCheck:
+    """Host-friendly wrapper: build padded arrays from per-object lists."""
+
+    def __init__(
+        self,
+        transforms,  # list of (4, 4) initial poses
+        points,  # list of (M_i, 3) solid points
+        sdf,  # list of (M_i,)
+        pitch,  # list/array of float
+        origin,  # list of (3,)
+        grid_target,  # (N, V, V, V)
+        grid_nontarget_empty,  # (N, V, V, V)
+        voxel_dim: int = 32,
+        threshold: float = 2.0,
+        sdf_offset: float = 0.0,
+        max_points: Optional[int] = None,
+    ):
+        from ..geometry.transform import (
+            quaternion_from_matrix,
+            translation_from_matrix,
+        )
+
+        N = len(transforms)
+        M = max_points or max(len(p) for p in points)
+        self._q = np.stack(
+            [quaternion_from_matrix(T) for T in transforms]
+        ).astype(np.float32)
+        self._t = np.stack(
+            [translation_from_matrix(T) for T in transforms]
+        ).astype(np.float32)
+        self._points = np.zeros((N, M, 3), np.float32)
+        self._sdf = np.zeros((N, M), np.float32)
+        self._mask = np.zeros((N, M), bool)
+        for i, (p, s) in enumerate(zip(points, sdf)):
+            k = min(len(p), M)
+            if len(p) > M:
+                keep = np.random.RandomState(i).permutation(len(p))[:M]
+                p, s = p[keep], s[keep]
+            self._points[i, :k] = p[:k]
+            self._sdf[i, :k] = s[:k]
+            self._mask[i, :k] = True
+        self._pitch = np.asarray(pitch, np.float32)
+        self._origin = np.asarray(origin, np.float32)
+        self._grid_target = np.asarray(grid_target, np.float32)
+        self._gne = np.asarray(grid_nontarget_empty, np.float32)
+        self._voxel_dim = voxel_dim
+        self._threshold = threshold
+        self._sdf_offset = sdf_offset
+
+    def refine(self, iterations: int = 30, alpha: float = 0.01):
+        q, t, losses, n_iter = refine_collision(
+            self._q,
+            self._t,
+            self._points,
+            self._sdf,
+            self._mask,
+            self._pitch,
+            self._origin,
+            self._grid_target,
+            self._gne,
+            voxel_dim=self._voxel_dim,
+            threshold=self._threshold,
+            sdf_offset=self._sdf_offset,
+            iterations=iterations,
+            alpha=alpha,
+        )
+        self._q = np.asarray(q)
+        self._t = np.asarray(t)
+        return self.transforms, np.asarray(losses), int(n_iter)
+
+    @property
+    def transforms(self):
+        from ..geometry.transform import quaternion_matrix_np
+
+        out = []
+        for q, t in zip(self._q, self._t):
+            T = quaternion_matrix_np(q)
+            T[:3, 3] = t
+            out.append(T)
+        return np.stack(out)

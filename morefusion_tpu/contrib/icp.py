@@ -1,0 +1,164 @@
+"""Point-cloud registration: closed-form ICP + gradient ICP.
+
+TPU-native replacements for the reference's registration stack:
+
+- ``ICPRegistration`` (reference ``contrib/icp_registration.py:6-71``,
+  Open3D point-to-point ICP): reimplemented as a jit-compiled ``lax.scan``
+  of (MXU nearest-neighbor matmul -> masked Kabsch/SVD alignment) steps.
+  Entirely on-device, fixed iteration count, distance-gated
+  correspondences (max distance = 2 x voxel size, Open3D's default).
+- ``IterativeClosestPointLink`` equivalent (``contrib/
+  iterative_closest_point_link.py:9-44``): (quaternion, translation)
+  parameters optimized by Adam on the gated sum-of-squares correspondence
+  loss — the reference's outer Python Adam loop becomes one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..functions.knn import pairwise_sq_dist
+from ..functions.transforms import transformation_matrix, transform_points
+
+
+def _masked_kabsch(src, dst, weights):
+    """Rigid (R, t) minimizing sum w_i ||R src_i + t - dst_i||^2."""
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    mu_s = jnp.sum(src * w[:, None], axis=0)
+    mu_d = jnp.sum(dst * w[:, None], axis=0)
+    S = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)  # (3, 3)
+    U, _, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.eye(3, dtype=S.dtype).at[2, 2].set(det)
+    R = Vt.T @ D @ U.T
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def icp_point_to_point(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    T_init: jnp.ndarray,
+    max_correspondence_distance: float = 0.02,
+    iterations: int = 100,
+) -> jnp.ndarray:
+    """Align ``source`` onto ``target``; returns T with target ~= T @ source.
+
+    Args:
+      source: (N, 3) e.g. CAD points.
+      target: (M, 3) e.g. depth points.
+      T_init: (4, 4) initial source -> target transform.
+    """
+    thresh_sq = max_correspondence_distance**2
+
+    def step(T, _):
+        moved = source @ T[:3, :3].T + T[:3, 3]  # (N, 3)
+        d = pairwise_sq_dist(moved, target)  # (N, M)
+        nn_idx = jnp.argmin(d, axis=1)
+        nn_d = jnp.take_along_axis(d, nn_idx[:, None], axis=1)[:, 0]
+        w = (nn_d < thresh_sq).astype(moved.dtype)
+        R, t = _masked_kabsch(moved, target[nn_idx], w)
+        delta = jnp.eye(4, dtype=T.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
+        return delta @ T, None
+
+    T, _ = jax.lax.scan(step, T_init.astype(jnp.float32), None, length=iterations)
+    return T
+
+
+class ICPRegistration:
+    """Reference-compatible wrapper (depth cloud vs. CAD cloud).
+
+    The reference feeds Open3D ``source=depth, target=cad`` with inverted
+    initial transform and re-inverts the result
+    (``icp_registration.py:30-46``); the net effect is refining
+    ``T_cad2cam``. We do the same with the scan ICP.
+    """
+
+    def __init__(self, pcd_depth, pcd_cad, transform_init=None):
+        from ..geometry.pointcloud import voxel_down_sample
+
+        self._pcd_depth = np.asarray(pcd_depth)
+        self._pcd_cad = np.asarray(pcd_cad)
+        self._transform = (
+            np.eye(4) if transform_init is None else np.asarray(transform_init)
+        )
+        self._down = voxel_down_sample
+
+    def register(self, iteration=None, voxel_size=None) -> np.ndarray:
+        iteration = 100 if iteration is None else iteration
+        voxel_size = 0.01 if voxel_size is None else voxel_size
+        cad = self._down(self._pcd_cad, voxel_size).astype(np.float32)
+        depth = self._down(self._pcd_depth, voxel_size).astype(np.float32)
+        # refine T_cad2cam: cad -> depth
+        T = icp_point_to_point(
+            jnp.asarray(cad),
+            jnp.asarray(depth),
+            jnp.asarray(self._transform, dtype=jnp.float32),
+            max_correspondence_distance=2 * voxel_size,
+            iterations=int(iteration),
+        )
+        self._transform = np.asarray(T, dtype=np.float64)
+        return self._transform
+
+    def register_iterative(self, iteration=None, voxel_size=None):
+        iteration = 100 if iteration is None else iteration
+        yield self._transform
+        for _ in range(iteration):
+            yield self.register(iteration=1, voxel_size=voxel_size)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def gradient_icp(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    quaternion_init: jnp.ndarray,
+    translation_init: jnp.ndarray,
+    learning_rate: float = 0.01,
+    gate: float = 0.02,
+    iterations: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Adam on (quaternion, translation) with gated correspondence loss.
+
+    Reference semantics (``iterative_closest_point_link.py:28-44``): for
+    each *target* (depth) point find the nearest transformed source point;
+    keep pairs with squared distance < gate; loss = sum of squared
+    distances.
+
+    Returns (quaternion, translation, losses (iterations,)).
+    """
+
+    params = {
+        "quaternion": quaternion_init.astype(jnp.float32),
+        "translation": translation_init.astype(jnp.float32),
+    }
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        T = transformation_matrix(p["quaternion"], p["translation"])
+        moved = transform_points(source, T)  # (N, 3)
+        d = pairwise_sq_dist(target, jax.lax.stop_gradient(moved))  # (M, N)
+        corr = jnp.argmin(d, axis=1)
+        matched = moved[corr]  # differentiable gather
+        sq = jnp.sum((matched - target) ** 2, axis=1)
+        keep = jax.lax.stop_gradient(sq) < gate
+        return jnp.sum(jnp.where(keep, sq, 0.0))
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (params, opt_state), None, length=iterations
+    )
+    return params["quaternion"], params["translation"], losses

@@ -1,0 +1,156 @@
+"""Tests for the refinement stack: ICP, occupancy registration, ICC."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.spatial.transform
+
+from morefusion_tpu import contrib
+from morefusion_tpu.datasets import ProceduralModels
+from morefusion_tpu.geometry.transform import quaternion_from_matrix
+
+
+def _perturbed_pose(rng, angle_deg=8.0, trans=0.01):
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    R = scipy.spatial.transform.Rotation.from_rotvec(
+        np.radians(angle_deg) * axis
+    ).as_matrix()
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = rng.uniform(-trans, trans, 3)
+    return T
+
+
+def test_icp_recovers_small_perturbation(rng):
+    models = ProceduralModels()
+    cad = models.get_pcd(2)[:1000].astype(np.float32)  # cracker box
+
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0.0, 0.0, 0.5]
+    depth_points = cad @ T_true[:3, :3].T + T_true[:3, 3]
+
+    T_init = T_true @ _perturbed_pose(rng, angle_deg=6, trans=0.008)
+    reg = contrib.ICPRegistration(depth_points, cad, T_init)
+    T_refined = reg.register(iteration=50, voxel_size=0.005)
+
+    # ADD error should shrink substantially
+    err_before = np.linalg.norm(
+        (cad @ T_init[:3, :3].T + T_init[:3, 3]) - depth_points, axis=1
+    ).mean()
+    err_after = np.linalg.norm(
+        (cad @ T_refined[:3, :3].T + T_refined[:3, 3]) - depth_points, axis=1
+    ).mean()
+    assert err_after < err_before * 0.2
+    assert err_after < 0.003
+
+
+def test_gradient_icp_reduces_loss(rng):
+    models = ProceduralModels()
+    cad = models.get_pcd(4)[:500].astype(np.float32)
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0, 0, 0.4]
+    target = cad @ T_true[:3, :3].T + T_true[:3, 3]
+
+    T_init = T_true @ _perturbed_pose(rng, angle_deg=5, trans=0.005)
+    q0 = quaternion_from_matrix(T_init).astype(np.float32)
+    t0 = T_init[:3, 3].astype(np.float32)
+    q, t, losses = contrib.gradient_icp(
+        jnp.asarray(cad), jnp.asarray(target), jnp.asarray(q0),
+        jnp.asarray(t0), iterations=60,
+    )
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0] * 0.5
+    assert np.isfinite(losses).all()
+
+
+def test_occupancy_registration_improves_translation(rng):
+    models = ProceduralModels()
+    pcd = models.get_pcd(21)[:800].astype(np.float32)  # foam brick
+
+    pitch = 0.01
+    dims = (24, 24, 24)
+    origin = np.array([-0.12, -0.12, -0.12], np.float32)
+
+    from morefusion_tpu.functions import occupancy_grid_3d
+
+    grid_occ = np.asarray(
+        occupancy_grid_3d(pcd, pitch=pitch, origin=origin, dims=dims, threshold=1)
+    )
+    grid_target = np.stack([grid_occ, np.zeros_like(grid_occ)])
+
+    T_init = np.eye(4)
+    T_init[:3, 3] = [0.015, -0.01, 0.012]  # offset to recover
+    reg = contrib.OccupancyRegistration(
+        pcd, grid_target, pitch=pitch, origin=origin, threshold=1,
+        transform_init=T_init,
+    )
+    T_out = reg.register(iteration=60)
+    assert np.linalg.norm(T_out[:3, 3]) < np.linalg.norm(T_init[:3, 3])
+
+
+def test_icc_reduces_collision_loss(rng):
+    models = ProceduralModels()
+    # two boxes, one initialized overlapping the other's observed space
+    N = 2
+    grids_t, grids_ne, points, sdfs, pitches, origins, Ts = (
+        [], [], [], [], [], [], []
+    )
+    for i, cid in enumerate([21, 16]):
+        vox = models.get_solid_voxel_grid(cid)
+        points.append(vox.points.astype(np.float32))
+        sdfs.append(vox.inside_distance.astype(np.float32))
+        pitch = models.get_voxel_pitch(32, cid)
+        pitches.append(pitch)
+        origins.append(np.float32([-0.16, -0.16, -0.16]) + i * 0.02)
+        T = np.eye(4)
+        T[:3, 3] = [0.02 * i, 0, 0]
+        Ts.append(T)
+        g = np.zeros((32, 32, 32), np.float32)
+        grids_t.append(g)
+        gne = np.zeros((32, 32, 32), np.float32)
+        gne[:16] = 0.8  # half the grid is known-nontarget/empty
+        grids_ne.append(gne)
+
+    icc = contrib.IterativeCollisionCheck(
+        Ts, points, sdfs, pitches, origins,
+        np.stack(grids_t), np.stack(grids_ne), max_points=512,
+    )
+    out, losses, n_iter = icc.refine(iterations=15)
+    assert out.shape == (N, 4, 4)
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0] + 1e-6
+    assert 1 <= n_iter <= 15
+
+
+def test_icc_loss_penalizes_overlap():
+    """Object inside known-empty space scores worse than outside it."""
+    models = ProceduralModels()
+    vox = models.get_solid_voxel_grid(21)
+    pts = vox.points[:256].astype(np.float32)
+    sdf = vox.inside_distance[:256].astype(np.float32)
+
+    pitch = np.float32(models.get_voxel_pitch(32, 21))
+    origin = np.float32([-0.08, -0.08, -0.08])
+    gne = np.ones((1, 32, 32, 32), np.float32)  # everything is no-entry
+    g_t = np.zeros((1, 32, 32, 32), np.float32)
+
+    def loss_at(tz):
+        return float(
+            contrib.icc_loss(
+                jnp.asarray([[1.0, 0, 0, 0]]),
+                jnp.asarray([[0.0, 0, tz]]),
+                jnp.asarray(pts[None]),
+                jnp.asarray(sdf[None]),
+                jnp.ones((1, 256), bool),
+                jnp.asarray([pitch]),
+                jnp.asarray(origin[None]),
+                jnp.asarray(g_t),
+                jnp.asarray(gne),
+                jnp.ones((1,), bool),
+            )
+        )
+
+    inside = loss_at(0.0)  # object sits inside the no-entry grid
+    outside = loss_at(10.0)  # far away from the grid
+    assert inside > outside
