@@ -34,9 +34,6 @@ import optax
 from ..functions.tdf import pseudo_occupancy_voxelization
 from ..functions.transforms import transformation_matrix, transform_points
 
-_FAR = 1.0e6  # padded/masked points are pushed out of every grid
-
-
 def icc_loss(
     quaternions,  # (N, 4)
     translations,  # (N, 3)
@@ -59,10 +56,9 @@ def icc_loss(
     T = transformation_matrix(quaternions, translations)  # (N, 4, 4)
     moved = jax.vmap(transform_points)(points, T)  # (N, M, 3)
     valid = point_mask & obj_mask[:, None]
-    moved = jnp.where(valid[..., None], moved, _FAR)
 
     # own grids, per object
-    def own(pts_i, sdf_i, pitch_i, origin_i):
+    def own(pts_i, sdf_i, mask_i, pitch_i, origin_i):
         return pseudo_occupancy_voxelization(
             pts_i,
             sdf_i,
@@ -71,27 +67,28 @@ def icc_loss(
             dims=dims,
             threshold=threshold,
             sdf_offset=sdf_offset,
+            point_mask=mask_i,
         )
 
-    grid_u, grid_s, grid_i = jax.vmap(own)(moved, sdf, pitch, origin)
+    grid_u, grid_s, grid_i = jax.vmap(own)(moved, sdf, valid, pitch, origin)
 
     # other-objects inside-grids: voxelize ALL objects' points except i
     # into frame i (matches the reference's concat of j != i points,
     # including the shared max-normalization of the inside weights).
     flat_pts = moved.reshape(N * M, 3)
     flat_sdf = sdf.reshape(N * M)
+    flat_valid = valid.reshape(N * M)
     owner = jnp.repeat(jnp.arange(N), M)  # (N*M,)
 
     def others(i, pitch_i, origin_i):
-        sel = (owner != i)[:, None]
-        pts = jnp.where(sel, flat_pts, _FAR)
         _, _, g_inside = pseudo_occupancy_voxelization(
-            pts,
+            flat_pts,
             flat_sdf,
             pitch=pitch_i,
             origin=origin_i,
             dims=dims,
             threshold=threshold,
+            point_mask=flat_valid & (owner != i),
         )
         return g_inside
 

@@ -1,39 +1,50 @@
 """Truncated distance function + pseudo-occupancy voxelization.
 
 TPU-native redesign of the reference's hardest CUDA kernel
-(``morefusion/functions/geometry/truncated_distance_function.py``): the
-``atomicMin``-with-winner-index scatter becomes a deterministic two-pass
-``segment_min`` over (point x kernel-offset) candidate pairs:
+(``morefusion/functions/geometry/truncated_distance_function.py``). Two
+formulations with identical public semantics:
 
-  1. every point emits ``ksize**3`` candidate (voxel, distance) pairs;
-  2. ``segment_min`` reduces candidates per voxel (differentiable — JAX's
-     scatter-min routes the gradient to the winning candidate, which is
-     exactly the reference backward: grad pushed along the unit vector from
-     winning voxel to winning point);
-  3. the winner's flat candidate index is recovered with a second
-     ``segment_min`` over index-where-distance-equals-min for
-     ``return_indices`` (needed by ``pseudo_occupancy_voxelization`` to look
-     up the winning point's SDF value).
+- ``truncated_distance_function`` (default, **dense streaming**): the grid
+  is only 32^3 voxels, so instead of scattering per-point candidates with
+  ``atomicMin`` (which XLA lowers to slow serialized scatters on TPU), we
+  stream point chunks through a ``lax.scan`` computing the (V, chunk)
+  squared-distance block via the MXU cross-term trick and keeping a running
+  per-voxel (min, argmin). No scatter anywhere — this is what makes the
+  ICC joint refiner fast. Gradients flow to the winning point through the
+  running-min selects, reproducing the reference backward (grad pushed
+  along the voxel->point unit vector).
+  Note: this computes the *exact* truncated distance; the reference's
+  CUDA kernel bounds the search to a ksize^3 neighborhood of each point and
+  therefore misses a thin shell of voxels near the truncation radius
+  (where the pseudo-occupancy weight ~ 0 anyway). We implement the exact
+  field (the paper's math); parity tests use a dense oracle.
 
-``pseudo_occupancy_voxelization`` converts a TDF + per-point SDF values into
-the (uniform / surface / inside) weighted occupancy grids that drive the
+- ``truncated_distance_function_scatter``: the segment-min port of the
+  reference kernel (kept for CPU-side uses and as a cross-check).
+
+``pseudo_occupancy_voxelization`` converts TDF + per-point SDF values into
+the (uniform / surface / inside) weighted occupancy grids driving the
 collision loss (reference ``truncated_distance_function.py:181-213``).
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def _tdf_kernel_offsets(ksize: int) -> jnp.ndarray:
-    """Integer offsets of the ksize^3 neighborhood, centered."""
-    r = jnp.arange(ksize, dtype=jnp.int32) - ksize // 2
-    ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
-    return jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3)  # (K, 3)
+def _voxel_centers(dims, dtype):
+    X, Y, Z = dims
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(X, dtype=dtype),
+        jnp.arange(Y, dtype=dtype),
+        jnp.arange(Z, dtype=dtype),
+        indexing="ij",
+    )
+    return jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)  # (V, 3)
 
 
 def truncated_distance_function(
@@ -44,28 +55,110 @@ def truncated_distance_function(
     dims,
     truncation,
     return_indices: bool = False,
-    ksize: int = None,
+    point_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 1024,
+    ksize: int = None,  # accepted for API compat; unused (exact field)
 ):
-    """Per-voxel truncated distance to the nearest point.
-
-    Only voxels within a ``ksize**3`` neighborhood of some point (where
-    ``ksize = ceil(truncation / pitch)`` rounded up to odd) get a distance;
-    everything else stays at ``truncation``.
+    """Per-voxel truncated distance to the nearest point (dense streaming).
 
     Args:
       points: ``(P, 3)`` world-frame points (differentiable).
-      pitch: voxel size.
+      pitch / truncation: may be traced scalars (e.g. under vmap).
       origin: ``(3,)`` grid origin.
       dims: ``(X, Y, Z)``.
-      truncation: max distance (same units as points).
-      return_indices: also return the winning **point** index per voxel
-        (``-1`` where no point is within truncation).
-      ksize: static neighborhood size; required when ``pitch``/``truncation``
-        are traced values (e.g. under ``vmap`` with per-sample pitch), since
-        the candidate-pair shape must be static.
+      return_indices: also return winning point index per voxel (-1 where
+        no point within truncation).
+      point_mask: optional ``(P,)`` validity mask for padded point sets.
 
     Returns:
-      ``(X, Y, Z)`` distance grid in ``[0, truncation]``.
+      ``(X, Y, Z)`` distances in ``[0, truncation]``.
+    """
+    del ksize
+    points = jnp.asarray(points)
+    dtype = points.dtype
+    X, Y, Z = (int(d) for d in dims)
+    V = X * Y * Z
+    P = points.shape[0]
+
+    pitch_t = jnp.asarray(pitch, dtype=dtype)
+    trunc_t = jnp.asarray(truncation, dtype=dtype)
+    origin_arr = jnp.asarray(origin, dtype=dtype)
+
+    # continuous voxel coordinates of the points; distances are computed in
+    # voxel units and scaled by pitch at the end (reference convention).
+    ip = (points - origin_arr) / pitch_t  # (P, 3)
+    nan_bad = jnp.any(jnp.isnan(ip), axis=-1)
+    valid = ~nan_bad if point_mask is None else (point_mask & ~nan_bad)
+    ip = jnp.nan_to_num(ip)
+
+    centers = _voxel_centers((X, Y, Z), dtype)  # (V, 3)
+    c2 = jnp.sum(centers * centers, axis=-1)  # (V,)
+
+    # pad P to a chunk multiple
+    n_chunks = max(1, -(-P // chunk))
+    Pp = n_chunks * chunk
+    ip_p = jnp.zeros((Pp, 3), dtype).at[:P].set(ip)
+    valid_p = jnp.zeros((Pp,), bool).at[:P].set(valid)
+    ip_c = ip_p.reshape(n_chunks, chunk, 3)
+    valid_c = valid_p.reshape(n_chunks, chunk)
+
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def body(carry, xs):
+        d2_min, arg_min = carry
+        pts, vmask, base = xs  # (chunk, 3), (chunk,), ()
+        p2 = jnp.sum(pts * pts, axis=-1)  # (chunk,)
+        cross = jnp.dot(
+            centers,
+            pts.T,
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (V, chunk) — MXU
+        d2 = c2[:, None] + p2[None, :] - 2.0 * cross
+        d2 = jnp.where(vmask[None, :], d2, big)
+        chunk_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (V,)
+        chunk_min = jnp.take_along_axis(d2, chunk_arg[:, None], axis=1)[:, 0]
+        better = chunk_min < d2_min
+        d2_min = jnp.where(better, chunk_min, d2_min)
+        arg_min = jnp.where(better, base + chunk_arg, arg_min)
+        return (d2_min, arg_min), None
+
+    init = (jnp.full((V,), big), jnp.full((V,), -1, jnp.int32))
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    (d2_min, arg_min), _ = jax.lax.scan(
+        body, init, (ip_c, valid_c, bases)
+    )
+
+    dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
+    tdf = jnp.minimum(dist, trunc_t).reshape(X, Y, Z)
+
+    if not return_indices:
+        return tdf
+    hit = jax.lax.stop_gradient(dist) < trunc_t
+    indices = jnp.where(hit, arg_min, -1).reshape(X, Y, Z)
+    return tdf, jax.lax.stop_gradient(indices)
+
+
+def _tdf_kernel_offsets(ksize: int) -> jnp.ndarray:
+    r = jnp.arange(ksize, dtype=jnp.int32) - ksize // 2
+    ox, oy, oz = jnp.meshgrid(r, r, r, indexing="ij")
+    return jnp.stack([ox, oy, oz], axis=-1).reshape(-1, 3)  # (K, 3)
+
+
+def truncated_distance_function_scatter(
+    points: jnp.ndarray,
+    *,
+    pitch,
+    origin,
+    dims,
+    truncation,
+    return_indices: bool = False,
+    ksize: int = None,
+):
+    """Segment-min port of the reference CUDA kernel (neighborhood-bounded).
+
+    Kept as a cross-check; the dense streaming version above is the
+    production path on TPU.
     """
     points = jnp.asarray(points)
     dtype = points.dtype
@@ -79,42 +172,31 @@ def truncated_distance_function(
         ksize = int(math.ceil(float(truncation) / float(pitch)))
     if ksize % 2 == 0:
         ksize += 1
-    offsets = _tdf_kernel_offsets(ksize)  # (K, 3)
+    offsets = _tdf_kernel_offsets(ksize)
     K = offsets.shape[0]
 
     origin_arr = jnp.asarray(origin, dtype=dtype)
-    ip = (points - origin_arr) / pitch_t  # (P, 3) continuous voxel coords
-    center = jnp.round(ip).astype(jnp.int32)  # (P, 3)
+    ip = (points - origin_arr) / pitch_t
+    center = jnp.round(ip).astype(jnp.int32)
 
     vox = center[:, None, :] + offsets[None, :, :]  # (P, K, 3)
     dims_arr = jnp.asarray([X, Y, Z], dtype=jnp.int32)
-    in_bounds = jnp.all((vox >= 0) & (vox < dims_arr), axis=-1)  # (P, K)
+    in_bounds = jnp.all((vox >= 0) & (vox < dims_arr), axis=-1)
 
-    # Distance from each candidate voxel (integer coords) to the point
-    # (continuous coords), in world units.
-    delta = ip[:, None, :] - vox.astype(dtype)  # (P, K, 3)
-    dist = pitch_t * jnp.sqrt(jnp.sum(delta**2, axis=-1))  # (P, K)
+    delta = ip[:, None, :] - vox.astype(dtype)
+    dist = pitch_t * jnp.sqrt(jnp.sum(delta**2, axis=-1))
 
     valid = in_bounds & (dist < trunc_t)
-    lin = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]  # (P, K)
+    lin = (vox[..., 0] * Y + vox[..., 1]) * Z + vox[..., 2]
     seg = jnp.where(valid, lin, n_voxels).reshape(-1)
 
-    # Invalid candidates carry `truncation` so they never win; the dump
-    # segment absorbs their (zero) gradient.
     dist_flat = jnp.where(valid, dist, trunc_t).reshape(-1)
-    tdf = jax.ops.segment_min(
-        dist_flat, seg, num_segments=n_voxels + 1
-    )[:-1]
-    # Voxels hit by no candidate come out as +inf from segment_min's
-    # identity; clamp them to truncation without killing gradients of real
-    # minima (which are < truncation by construction).
-    tdf = jnp.minimum(tdf, trunc_t)
-    tdf = tdf.reshape(X, Y, Z)
+    tdf = jax.ops.segment_min(dist_flat, seg, num_segments=n_voxels + 1)[:-1]
+    tdf = jnp.minimum(tdf, trunc_t).reshape(X, Y, Z)
 
     if not return_indices:
         return tdf
 
-    # Winner recovery: flat candidate index whose distance equals the min.
     pair_idx = jnp.arange(P * K, dtype=jnp.int32)
     tdf_flat = jax.lax.stop_gradient(tdf).reshape(-1)
     d_ng = jax.lax.stop_gradient(dist_flat)
@@ -137,6 +219,7 @@ def pseudo_occupancy_voxelization(
     dims,
     threshold=1,
     sdf_offset=0,
+    point_mask: Optional[jnp.ndarray] = None,
 ):
     """Convert points + per-point SDF values into three weighted occupancy
     grids (uniform / surface / inside).
@@ -144,20 +227,19 @@ def pseudo_occupancy_voxelization(
     Matches the reference's formula
     (``morefusion/functions/geometry/truncated_distance_function.py:181-213``):
     ``grid = 1 - tdf/truncation`` with ``truncation = threshold * pitch``;
-    inside-weight = winning point's SDF (+offset, clipped at 0, max-normalized);
-    surface-weight = inside-weight with positives flipped to ``1 - w``.
+    inside-weight = winning point's SDF (+offset, clipped at 0,
+    max-normalized); surface-weight = inside-weight with positives flipped
+    to ``1 - w``.
 
     Args:
       points: ``(P, 3)`` (differentiable — this is the collision-loss input).
-      sdf: ``(P,)`` signed-distance value of each point inside its CAD model.
+      sdf: ``(P,)`` inside-positive distance of each point in its CAD model.
+      point_mask: optional ``(P,)`` validity mask for padded point sets.
 
     Returns:
       ``(grid_uniform, grid_surface, grid_inside)``, each ``(X, Y, Z)``.
     """
-    # truncation = threshold * pitch, so the neighborhood size depends only
-    # on the (static) threshold — pitch may be a traced per-sample value.
     truncation = jnp.asarray(threshold) * jnp.asarray(pitch)
-    ksize = int(math.ceil(float(threshold)))
     tdf, indices = truncated_distance_function(
         points,
         pitch=pitch,
@@ -165,7 +247,7 @@ def pseudo_occupancy_voxelization(
         dims=dims,
         truncation=truncation,
         return_indices=True,
-        ksize=ksize,
+        point_mask=point_mask,
     )
     grid = 1.0 - tdf / truncation  # [0, 1], differentiable w.r.t. points
 

@@ -92,8 +92,6 @@ def occupancy_loss(
     def per_sample(q_i, t_i, pts, sdf, m, pitch_i, origin_i, g_tgt, g_nte):
         T = F.transformation_matrix(q_i, t_i)
         moved = F.transform_points(pts, T)  # (M, 3)
-        # Push padded points far outside the grid so they never land.
-        moved = jnp.where(m[:, None], moved, 1e6)
         grid_u, _, _ = F.pseudo_occupancy_voxelization(
             moved,
             sdf,
@@ -101,6 +99,7 @@ def occupancy_loss(
             origin=origin_i,
             dims=(voxel_dim,) * 3,
             threshold=threshold,
+            point_mask=m,
         )
         reward = jnp.sum(grid_u * g_tgt) / (jnp.sum(g_tgt) + 1e-16)
         penalty = jnp.sum(grid_u * g_nte) / (jnp.sum(grid_u) + 1e-16)

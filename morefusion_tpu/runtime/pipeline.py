@@ -1,0 +1,163 @@
+"""End-to-end scene pipeline: the reference's ROS graph as a host service.
+
+Chains the runtime nodes exactly like the reference launch graph
+(SURVEY.md §3.4: camera -> instance segmentation -> OctomapServer ->
+pose CNN -> object mapping -> collision refinement -> picking order),
+with ROS topics replaced by direct calls — the ROS bindings stay a thin
+adapter on top of this class. Segmentation is pluggable: ground-truth
+labels, or any callable returning (instance_label, {id: class_id}).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..contrib.collision_refine import IterativeCollisionCheck
+from ..datasets.ycb_video.class_names import class_ids_symmetric
+from ..geometry.pointcloud import pointcloud_from_depth
+from ..geometry.transform import transform_points_np
+from .fusion import OccupancyFusion
+from .object_mapping import ObjectMapping
+from .pose_estimation import PoseEstimationNode
+
+
+class ScenePipeline:
+    def __init__(
+        self,
+        model,
+        params,
+        models,
+        segmenter: Optional[Callable] = None,
+        voxel_dim: int = 32,
+        with_icp: bool = False,
+        n_votes: int = 3,
+        native_mapping: bool = True,
+    ):
+        self._models = models
+        self._segmenter = segmenter
+        self._voxel_dim = voxel_dim
+        self.fusion = OccupancyFusion(
+            models, voxel_dim=voxel_dim, native=native_mapping
+        )
+        self.pose_node = PoseEstimationNode(
+            model, params, models, voxel_dim=voxel_dim, with_icp=with_icp
+        )
+        self.object_mapping = ObjectMapping(
+            models, class_ids_symmetric, n_votes=n_votes
+        )
+        self.last_poses: Dict[int, dict] = {}
+
+    def reset(self):
+        self.fusion.reset()
+        self.object_mapping = ObjectMapping(
+            self._models, class_ids_symmetric,
+        )
+        self.last_poses = {}
+
+    def process_frame(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        K: np.ndarray,
+        T_cam2world: np.ndarray,
+        instance_label: Optional[np.ndarray] = None,
+        instance_to_class: Optional[Dict[int, int]] = None,
+        refine: bool = True,
+    ) -> Dict[int, dict]:
+        """Run the full per-frame pipeline; returns per-instance results
+        (poses in the camera frame, plus world-frame poses)."""
+        if instance_label is None:
+            if self._segmenter is None:
+                raise ValueError(
+                    "no segmenter configured and no labels provided"
+                )
+            instance_label, instance_to_class = self._segmenter(rgb, depth)
+
+        pcd_cam = pointcloud_from_depth(
+            depth, fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2]
+        )
+        # world-frame cloud for mapping
+        H, W = depth.shape
+        flat = pcd_cam.reshape(-1, 3)
+        valid = ~np.isnan(flat).any(axis=1)
+        pcd_world = np.full_like(flat, np.nan)
+        pcd_world[valid] = transform_points_np(flat[valid], T_cam2world)
+        pcd_world = pcd_world.reshape(H, W, 3)
+
+        # 1-2) fuse + track
+        label = self.fusion.process_frame(
+            pcd_world,
+            instance_label,
+            instance_to_class or {},
+            K=K,
+            T_cam2world=T_cam2world,
+            camera_origin=T_cam2world[:3, 3],
+        )
+        inst_to_class = self.fusion.instance_to_class
+
+        # 3) no-entry grids per live instance (in the camera frame we keep
+        # grids in world frame: origin from each instance's observed cloud)
+        noentry = {}
+        grid_meta = {}
+        for ins_id, class_id in inst_to_class.items():
+            mask = label == ins_id
+            if not mask.any():
+                continue
+            pts = pcd_world[mask & ~np.isnan(pcd_world).any(axis=2)]
+            if len(pts) == 0:
+                continue
+            pitch = self._models.get_voxel_pitch(self._voxel_dim, class_id)
+            center = np.median(pts, axis=0)
+            origin = center - pitch * (self._voxel_dim / 2.0 - 0.5)
+            noentry_world = self.fusion.get_noentry_grid(
+                ins_id, pitch, origin
+            )
+            noentry[ins_id] = noentry_world
+            grid_meta[ins_id] = (pitch, origin)
+
+        # 4) pose prediction (camera frame)
+        poses = self.pose_node.estimate(
+            rgb, pcd_cam, label, inst_to_class, noentry_grids=noentry
+        )
+
+        # 5) temporal fusion in the world frame
+        for ins_id, res in poses.items():
+            T_cad2world = T_cam2world @ res["T_cad2cam"]
+            res["T_cad2world"] = T_cad2world
+            self.object_mapping.update(
+                ins_id, res["class_id"], T_cad2world
+            )
+
+        # 6) joint collision refinement of spawned objects
+        spawned = self.object_mapping.spawned
+        refine_ids = [i for i in spawned if i in grid_meta]
+        if refine and len(refine_ids) >= 1:
+            Ts, pts_l, sdf_l, pitch_l, origin_l, g_t, g_ne = (
+                [], [], [], [], [], [], []
+            )
+            for ins_id in refine_ids:
+                track = spawned[ins_id]
+                vox = self._models.get_solid_voxel_grid(track.class_id)
+                pts_l.append(vox.points.astype(np.float32))
+                sdf_l.append(vox.inside_distance.astype(np.float32))
+                pitch, origin = grid_meta[ins_id]
+                pitch_l.append(pitch)
+                origin_l.append(origin)
+                Ts.append(track.pose)
+                gt, gn, ge = self.fusion.get_grids(ins_id, pitch, origin)
+                g_t.append(gt)
+                g_ne.append(np.maximum(gn, ge))
+            icc = IterativeCollisionCheck(
+                Ts, pts_l, sdf_l, pitch_l, origin_l,
+                np.stack(g_t), np.stack(g_ne),
+                voxel_dim=self._voxel_dim, max_points=2048,
+            )
+            refined, _, _ = icc.refine(iterations=30)
+            for ins_id, T in zip(refine_ids, refined):
+                if ins_id in poses:
+                    poses[ins_id]["T_cad2world_refined"] = T
+
+        self.last_poses = poses
+        return poses

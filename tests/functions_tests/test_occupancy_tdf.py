@@ -71,32 +71,24 @@ def test_occupancy_grid_3d_grads(rng):
 
 
 def _tdf_np(points, pitch, origin, dims, truncation):
-    """Dense brute-force oracle: per-voxel distance to the nearest point,
-    truncated. (Within the kernel neighborhood the reference's scatter
-    formulation gives exactly this.)"""
+    """Dense brute-force oracle: per-voxel exact distance to the nearest
+    point, truncated. (Our implementation computes the exact field; the
+    reference CUDA kernel bounds the search to a ksize^3 neighborhood —
+    see tdf.py module docstring for the documented deviation.)"""
     X, Y, Z = dims
     tdf = np.full(dims, truncation, dtype=np.float32)
     winner = np.full(dims, -1, dtype=np.int32)
     ip = (points - np.asarray(origin)) / pitch
-    import math
-
-    ksize = int(math.ceil(truncation / pitch))
-    if ksize % 2 == 0:
-        ksize += 1
-    r = ksize // 2
-    for p in range(len(points)):
-        cx, cy, cz = np.round(ip[p]).astype(int)
-        for ix in range(cx - r, cx + r + 1):
-            for iy in range(cy - r, cy + r + 1):
-                for iz in range(cz - r, cz + r + 1):
-                    if not (0 <= ix < X and 0 <= iy < Y and 0 <= iz < Z):
-                        continue
-                    d = pitch * np.sqrt(
-                        ((ip[p] - np.array([ix, iy, iz])) ** 2).sum()
-                    )
-                    if d < truncation and d < tdf[ix, iy, iz]:
-                        tdf[ix, iy, iz] = d
-                        winner[ix, iy, iz] = p
+    for ix in range(X):
+        for iy in range(Y):
+            for iz in range(Z):
+                d = pitch * np.sqrt(
+                    ((ip - np.array([ix, iy, iz])) ** 2).sum(axis=1)
+                )
+                p = int(np.argmin(d))
+                if d[p] < truncation:
+                    tdf[ix, iy, iz] = d[p]
+                    winner[ix, iy, iz] = p
     return tdf, winner
 
 
