@@ -1,0 +1,21 @@
+"""Real-time pipeline (layer L10 of the reference) as host services.
+
+The reference's ROS node graph (instance segmentation -> OctomapServer ->
+pose CNN -> object mapping -> collision refinement -> picking order)
+becomes direct-call nodes behind ``ScenePipeline``; ROS bindings remain a
+thin adapter on top.
+"""
+
+# flake8: noqa: F401
+
+from .tracking import is_detected_mask_too_small
+from .tracking import mask_to_bbox
+from .tracking import track_instance_id
+from .fusion import OccupancyFusion
+from .object_mapping import ObjectMapping
+from .object_mapping import ObjectTrack
+from .pose_estimation import PoseEstimationNode
+from .picking import build_occlusion_graph
+from .picking import select_picking_order
+from .picking import suction_grasp_pose
+from .pipeline import ScenePipeline

@@ -42,10 +42,17 @@ def _make_mapping(native: bool):
 
 
 class OccupancyFusion:
-    def __init__(self, models, voxel_dim: int = 32, native: bool = True):
+    def __init__(
+        self,
+        models,
+        voxel_dim: int = 32,
+        native: bool = True,
+        size_filter: bool = True,
+    ):
         self._models = models
         self._voxel_dim = voxel_dim
         self._native = native
+        self._size_filter = size_filter
         self.reset()
 
     def reset(self):
@@ -90,6 +97,7 @@ class OccupancyFusion:
                 detection_label,
                 detection_classes,
                 self._counter,
+                size_filter=self._size_filter,
             )
         else:
             label = detection_label.copy()

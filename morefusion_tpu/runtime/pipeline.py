@@ -34,12 +34,14 @@ class ScenePipeline:
         with_icp: bool = False,
         n_votes: int = 3,
         native_mapping: bool = True,
+        size_filter: bool = True,
     ):
         self._models = models
         self._segmenter = segmenter
         self._voxel_dim = voxel_dim
         self.fusion = OccupancyFusion(
-            models, voxel_dim=voxel_dim, native=native_mapping
+            models, voxel_dim=voxel_dim, native=native_mapping,
+            size_filter=size_filter,
         )
         self.pose_node = PoseEstimationNode(
             model, params, models, voxel_dim=voxel_dim, with_icp=with_icp

@@ -58,6 +58,7 @@ def track_instance_id(
     target: np.ndarray,
     instance_id_to_class_id: Dict[int, int],
     instance_counter: int,
+    size_filter: bool = True,
 ) -> Tuple[np.ndarray, Dict[int, int], int]:
     """Match detection labels (``target``) to map labels (``reference``).
 
@@ -89,7 +90,7 @@ def track_instance_id(
         mask2 = target == ins_id2
         ins_id2to1[ins_id2] = (-1, 0.0, 0.0)
 
-        if is_detected_mask_too_small(mask2):
+        if size_filter and is_detected_mask_too_small(mask2):
             suspicious2.add(ins_id2)
         if (mask2 & mask_edge).sum() > (mask2 & mask_nonedge).sum():
             suspicious2.add(ins_id2)
@@ -130,13 +131,16 @@ def track_instance_id(
             out[m] = ins_id2to1[ins_id2][0]
 
     # suppress small blobs of the relabeled map
-    for ins_id in [i for i in np.unique(out) if i >= 0]:
-        m = (out == ins_id).astype(np.uint8)
-        contours, _ = cv2.findContours(
-            m, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
-        )
-        for j, c in enumerate(contours):
-            if cv2.contourArea(c) < 20 * 20:
-                cv2.drawContours(out, contours, j, color=-2, thickness=-1)
+    if size_filter:
+        for ins_id in [i for i in np.unique(out) if i >= 0]:
+            m = (out == ins_id).astype(np.uint8)
+            contours, _ = cv2.findContours(
+                m, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+            )
+            for j, c in enumerate(contours):
+                if cv2.contourArea(c) < 20 * 20:
+                    cv2.drawContours(
+                        out, contours, j, color=-2, thickness=-1
+                    )
 
     return out, updated, instance_counter
