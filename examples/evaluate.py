@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Evaluate a trained pose model: raw / +ICP / +ICC+ICP.
+
+Equivalent of ``examples/ycb_video/singleview_3d/evaluate.py``: loads
+args.json + the best snapshot, runs per-example prediction (deterministic
+sampling), records ADD/ADD-S per method, and prints per-class VOCap AUC
+tables. Methods mirror the reference: "morefusion", "morefusion+icp",
+"morefusion+icc+icp".
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+import argparse
+import json
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--log-dir", required=True, help="training out dir")
+    parser.add_argument("--data", required=True, help="reindexed val set")
+    parser.add_argument("--n-examples", type=int, default=None)
+    parser.add_argument("--methods", nargs="+",
+                        default=["morefusion", "morefusion+icp"])
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from morefusion_tpu import datasets, metrics, models, training
+    from morefusion_tpu.contrib import ICPRegistration, IterativeCollisionCheck
+    from morefusion_tpu.datasets import ProceduralModels, Transform
+    from morefusion_tpu.datasets.ycb_video.class_names import (
+        class_ids_symmetric,
+    )
+    from morefusion_tpu.functions import transformation_matrix
+
+    train_args = training.load_args(args.log_dir)
+    n_fg_class = 21
+    with_occupancy = train_args.get("with_occupancy", False) or (
+        "occupancy" in train_args.get("loss", "")
+    )
+    if train_args.get("tiny"):
+        model = models.tiny_singleview3d(
+            n_fg_class, n_point=train_args.get("n_point", 1000),
+            with_occupancy=with_occupancy,
+        )
+    else:
+        model = models.SingleView3D(
+            n_fg_class=n_fg_class,
+            n_point=train_args.get("n_point", 1000),
+            with_occupancy=with_occupancy,
+        )
+
+    models_bank = ProceduralModels()
+    ds = datasets.RGBDPoseEstimationDatasetReIndexed(args.data, split="val")
+    transform = Transform(train=False, with_occupancy=with_occupancy)
+
+    # restore best-AUC params (fall back to latest trainer state)
+    bank = training.CadPointBank.build(models_bank, n_fg_class)
+    loader = training.BatchLoader(ds, 1, transform, shuffle=False)
+    example = next(iter(loader))
+    state = training.create_train_state(
+        model, example, jax.random.PRNGKey(0), with_occupancy=with_occupancy
+    )
+    mgr = training.CheckpointManager(args.log_dir)
+    params = mgr.restore_best(state.params, "validation/main/auc")
+    if params is None:
+        restored = mgr.restore_latest(state)
+        params = restored.params if restored is not None else state.params
+
+    eval_step = jax.jit(
+        training.make_eval_step(model, bank, with_occupancy=with_occupancy)
+    )
+    predict = jax.jit(lambda p, **kw: model.apply(p, **kw))
+
+    n = len(ds) if args.n_examples is None else min(args.n_examples, len(ds))
+    records = {m: [] for m in args.methods}
+    for index in range(n):
+        ex = transform(ds[index])
+        batch = {
+            k: np.asarray(v)[None]
+            for k, v in ex.items()
+            if k in (
+                "class_id", "rgb", "pcd", "quaternion_true",
+                "translation_true", "pitch", "origin",
+                "grid_target", "grid_nontarget_empty",
+            )
+        }
+        batch["rgb"] = batch["rgb"].astype(np.float32)
+        if "pitch" not in batch:
+            batch["pitch"] = np.asarray(
+                [models_bank.get_voxel_pitch(32, int(ex["class_id"]))],
+                np.float32,
+            )
+        kwargs = dict(
+            class_id=batch["class_id"], rgb=batch["rgb"], pcd=batch["pcd"],
+            pitch=batch["pitch"],
+        )
+        if with_occupancy:
+            kwargs["origin"] = batch.get("origin")
+            kwargs["grid_nontarget_empty"] = batch[
+                "grid_nontarget_empty"
+            ].astype(np.float32)
+        quat, trans, conf = map(np.asarray, predict(params, **kwargs))
+        best = int(np.argmax(conf[0]))
+        T_pred = np.asarray(
+            transformation_matrix(quat[0, best], trans[0, best])
+        ).astype(np.float64)
+        T_true = np.asarray(
+            transformation_matrix(
+                ex["quaternion_true"], ex["translation_true"]
+            )
+        ).astype(np.float64)
+
+        class_id = int(ex["class_id"])
+        cad = models_bank.get_pcd(class_id)
+        is_sym = class_id in class_ids_symmetric
+
+        def record(method, T):
+            add, add_s = metrics.average_distance([cad], [T_true], [T])
+            records[method].append(
+                dict(
+                    class_id=class_id,
+                    add=float(add[0]),
+                    add_s=float(add_s[0]),
+                    add_or_add_s=float(add_s[0] if is_sym else add[0]),
+                )
+            )
+
+        for method in args.methods:
+            T = T_pred.copy()
+            if "icc" in method:
+                vox = models_bank.get_solid_voxel_grid(class_id)
+                icc = IterativeCollisionCheck(
+                    [T],
+                    [vox.points.astype(np.float32)],
+                    [vox.inside_distance.astype(np.float32)],
+                    [float(batch["pitch"][0])],
+                    [np.asarray(ex.get("origin", np.zeros(3)), np.float64)],
+                    np.asarray(ex["grid_target"], np.float32)[None],
+                    np.asarray(
+                        ex["grid_nontarget_empty"], np.float32
+                    )[None],
+                    max_points=2048,
+                )
+                (T,), _, _ = icc.refine(iterations=30)
+            if "icp" in method:
+                mask = ~np.isnan(ex["pcd"]).any(axis=2)
+                depth_points = ex["pcd"][mask]
+                if len(depth_points) > 10:
+                    T = ICPRegistration(depth_points, cad, T).register()
+            record(method, T)
+
+    print(f"evaluated {n} examples")
+    summary = {}
+    for method, recs in records.items():
+        class_ids = np.array([r["class_id"] for r in recs])
+        adds = {
+            k: np.array([r[k] for r in recs])
+            for k in ("add", "add_s", "add_or_add_s")
+        }
+        s = training.summarize_records(class_ids, adds)
+        summary[method] = s
+        print(
+            f"[{method}] ADD(-S) AUC={s['main/add_or_add_s/auc']:.4f} "
+            f"ADD-S AUC={s['main/add_s/auc']:.4f} "
+            f"<2cm={s['main/add_or_add_s/<2cm']:.4f}"
+        )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

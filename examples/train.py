@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Train the volumetric pose model (flagship singleview_3d recipe).
+
+Equivalent of ``examples/ycb_video/singleview_3d/train.py`` (reference
+recipe: Adam 1e-4, batch 16, 30 epochs, add -> add/add_s after epoch 1,
+eval every 0.25 epoch, snapshots latest/best-ADD/best-AUC). Data
+parallelism spans all visible devices automatically (shard_map over
+Mesh('data')); multi-host runs shard the global batch per process.
+
+With ``--data`` pointing at a reindexed npz set (see
+examples/synthetic/generate_data.py); without it, a small synthetic set is
+generated inline (smoke-training).
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--data", default=None, help="reindexed dataset dir")
+    parser.add_argument("--val-data", default=None)
+    parser.add_argument(
+        "--model", default="singleview_3d",
+        choices=["singleview_3d", "posenet"],
+    )
+    parser.add_argument("--with-occupancy", action="store_true")
+    parser.add_argument(
+        "--loss", default="add/add_s",
+        choices=["add", "add/add_s", "add+occupancy", "add/add_s+occupancy"],
+    )
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--tiny", action="store_true", help="CI-sized model")
+    parser.add_argument("--n-point", type=int, default=1000)
+    args = parser.parse_args()
+
+    from morefusion_tpu import datasets, models, training
+    from morefusion_tpu.datasets import ProceduralModels, Transform
+
+    models_bank = ProceduralModels()
+    n_fg_class = 21
+    with_occupancy = args.with_occupancy or "occupancy" in args.loss
+
+    if args.data:
+        train_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+            args.data, split="train", augmentation=True
+        )
+        val_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+            args.val_data or args.data, split="val"
+        )
+    else:
+        print("no --data: generating a small synthetic set inline")
+        train_src = datasets.SyntheticRGBDPoseEstimationDataset(
+            split="train", n_frames=16, n_objects=(2, 4)
+        )
+        val_src = datasets.SyntheticRGBDPoseEstimationDataset(
+            split="val", n_frames=4, n_objects=(2, 4)
+        )
+        train_dir = os.path.join(args.out, "data_train")
+        val_dir = os.path.join(args.out, "data_val")
+        if not os.path.exists(os.path.join(train_dir, "meta.json")):
+            datasets.reindex(train_dir, [train_src], n_workers=1)
+        if not os.path.exists(os.path.join(val_dir, "meta.json")):
+            datasets.reindex(val_dir, [val_src], n_workers=1)
+        train_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+            train_dir, split="train", augmentation=True
+        )
+        val_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+            val_dir, split="val"
+        )
+
+    if args.model == "singleview_3d":
+        if args.tiny:
+            model = models.tiny_singleview3d(
+                n_fg_class, n_point=args.n_point,
+                with_occupancy=with_occupancy,
+            )
+        else:
+            model = models.SingleView3D(
+                n_fg_class=n_fg_class, n_point=args.n_point,
+                with_occupancy=with_occupancy,
+            )
+    else:
+        model = models.PoseNet(n_fg_class=n_fg_class, n_point=args.n_point)
+
+    state, summary = training.loop.fit(
+        model=model,
+        models_bank=models_bank,
+        train_dataset=train_ds,
+        val_dataset=val_ds,
+        out_dir=args.out,
+        transform_train=Transform(train=True, with_occupancy=with_occupancy),
+        transform_val=Transform(train=False, with_occupancy=with_occupancy),
+        n_fg_class=n_fg_class,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        learning_rate=args.lr,
+        loss=args.loss,
+        with_occupancy=with_occupancy,
+        seed=args.seed,
+        resume=args.resume,
+        max_steps=args.max_steps,
+        args_dict=vars(args),
+    )
+    print("final summary:", {k: round(v, 4) for k, v in summary.items() if k.count("/") <= 2})
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,34 @@ import optax
 from ..functions.tdf import pseudo_occupancy_voxelization
 from ..functions.transforms import transformation_matrix, transform_points
 
+def _axis_weights(o_i, pitch_i, o_j, pitch_j, V, dtype):
+    """(V_out, V_src) trilinear hat weights for one axis of the axis-
+    aligned scale-translate resample. Out-of-range rows are all-zero
+    (matching out-of-bounds -> 0 of a gather-based trilinear sample)."""
+    out_idx = jnp.arange(V, dtype=dtype)
+    src = (o_i + out_idx * pitch_i - o_j) / pitch_j  # (V,)
+    d = jnp.abs(src[:, None] - jnp.arange(V, dtype=dtype)[None, :])
+    return jnp.clip(1.0 - d, 0.0, 1.0)
+
+
+def _resample_grid(grid_j, pitch_j, origin_j, pitch_i, origin_i, voxel_dim):
+    """Trilinearly sample object j's grid at frame i's voxel centers.
+
+    Both grids are axis-aligned, so the trilinear resample factorizes into
+    three separable 1-D interpolations — three tiny (V, V) matmuls instead
+    of V^3 x 8 gathers (TPU gathers would dominate the whole refiner).
+    Differentiable w.r.t. grid_j (and through it, the points).
+    """
+    V = voxel_dim
+    dt = grid_j.dtype
+    wx = _axis_weights(origin_i[0], pitch_i, origin_j[0], pitch_j, V, dt)
+    wy = _axis_weights(origin_i[1], pitch_i, origin_j[1], pitch_j, V, dt)
+    wz = _axis_weights(origin_i[2], pitch_i, origin_j[2], pitch_j, V, dt)
+    g = jnp.einsum("ai,ijk->ajk", wx, grid_j)
+    g = jnp.einsum("bj,ajk->abk", wy, g)
+    return jnp.einsum("ck,abk->abc", wz, g)
+
+
 def icc_loss(
     quaternions,  # (N, 4)
     translations,  # (N, 3)
@@ -49,7 +77,20 @@ def icc_loss(
     voxel_dim: int = 32,
     threshold: float = 2.0,
     sdf_offset: float = 0.0,
+    cross_mode: str = "resample",
 ):
+    """ICC loss. ``cross_mode``:
+
+    - ``"resample"`` (default, TPU-fast): each object's inside-grid is
+      voxelized once in its own frame; other-object occupancy in frame i
+      comes from trilinearly resampling frame j's grid (an axis-aligned
+      scale-translate). O(N*M*V + N^2*V) instead of O(N^2*M*V) — this is
+      what makes >=100 joint-refinement iters/s possible. Deviation from
+      the reference: inside-weights are normalized per object rather than
+      over the union of the other objects' points.
+    - ``"exact"``: the reference formulation — voxelize the union of all
+      j != i points into frame i (shared max-normalization).
+    """
     N, M, _ = points.shape
     dims = (voxel_dim,) * 3
 
@@ -57,42 +98,59 @@ def icc_loss(
     moved = jax.vmap(transform_points)(points, T)  # (N, M, 3)
     valid = point_mask & obj_mask[:, None]
 
-    # own grids, per object
-    def own(pts_i, sdf_i, mask_i, pitch_i, origin_i):
-        return pseudo_occupancy_voxelization(
-            pts_i,
-            sdf_i,
-            pitch=pitch_i,
-            origin=origin_i,
-            dims=dims,
-            threshold=threshold,
-            sdf_offset=sdf_offset,
-            point_mask=mask_i,
+    # own grids, all objects in one batched call (the Pallas min-distance
+    # kernel takes an explicit batch grid — no vmap)
+    grid_u, grid_s, grid_i = pseudo_occupancy_voxelization(
+        moved,
+        sdf,
+        pitch=pitch,
+        origin=origin,
+        dims=dims,
+        threshold=threshold,
+        sdf_offset=sdf_offset,
+        point_mask=valid,
+    )
+
+    if cross_mode == "resample":
+        # grid_other[i] = max_{j != i} resample(grid_inside[j] -> frame i)
+        def pair(i, j):
+            g = _resample_grid(
+                grid_i[j], pitch[j], origin[j], pitch[i], origin[i],
+                voxel_dim,
+            )
+            keep = (i != j) & obj_mask[j]
+            return jnp.where(keep, g, 0.0)
+
+        iidx, jidx = jnp.meshgrid(
+            jnp.arange(N), jnp.arange(N), indexing="ij"
         )
-
-    grid_u, grid_s, grid_i = jax.vmap(own)(moved, sdf, valid, pitch, origin)
-
-    # other-objects inside-grids: voxelize ALL objects' points except i
-    # into frame i (matches the reference's concat of j != i points,
-    # including the shared max-normalization of the inside weights).
-    flat_pts = moved.reshape(N * M, 3)
-    flat_sdf = sdf.reshape(N * M)
-    flat_valid = valid.reshape(N * M)
-    owner = jnp.repeat(jnp.arange(N), M)  # (N*M,)
-
-    def others(i, pitch_i, origin_i):
-        _, _, g_inside = pseudo_occupancy_voxelization(
+        pair_grids = jax.vmap(pair)(
+            iidx.reshape(-1), jidx.reshape(-1)
+        ).reshape(N, N, *dims)
+        grid_other = jnp.max(pair_grids, axis=1)
+    elif cross_mode == "exact":
+        # voxelize ALL objects' points except i into frame i (matches the
+        # reference's concat of j != i points, including the shared
+        # max-normalization of the inside weights).
+        flat_pts = jnp.broadcast_to(
+            moved.reshape(1, N * M, 3), (N, N * M, 3)
+        )
+        flat_sdf = jnp.broadcast_to(sdf.reshape(1, N * M), (N, N * M))
+        owner = jnp.repeat(jnp.arange(N), M)  # (N*M,)
+        others_mask = valid.reshape(1, N * M) & (
+            owner[None, :] != jnp.arange(N)[:, None]
+        )  # (N, N*M)
+        _, _, grid_other = pseudo_occupancy_voxelization(
             flat_pts,
             flat_sdf,
-            pitch=pitch_i,
-            origin=origin_i,
+            pitch=pitch,
+            origin=origin,
             dims=dims,
             threshold=threshold,
-            point_mask=flat_valid & (owner != i),
+            point_mask=others_mask,
         )
-        return g_inside
-
-    grid_other = jax.vmap(others)(jnp.arange(N), pitch, origin)
+    else:
+        raise ValueError(f"unknown cross_mode: {cross_mode}")
     gne = jnp.maximum(grid_nontarget_empty, grid_other)
 
     om = obj_mask[:, None, None, None]
@@ -109,7 +167,7 @@ def icc_loss(
     jax.jit,
     static_argnames=(
         "voxel_dim", "threshold", "sdf_offset", "iterations", "alpha",
-        "early_stop",
+        "early_stop", "cross_mode",
     ),
 )
 def refine_collision(
@@ -130,6 +188,7 @@ def refine_collision(
     iterations: int = 30,
     alpha: float = 0.01,
     early_stop: bool = True,
+    cross_mode: str = "resample",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jointly refine all object poses.
 
@@ -167,6 +226,7 @@ def refine_collision(
             voxel_dim=voxel_dim,
             threshold=threshold,
             sdf_offset=sdf_offset,
+            cross_mode=cross_mode,
         )
 
     # plateau observer state (ROS node LossObserver, :18-45): deque of the
@@ -227,6 +287,7 @@ class IterativeCollisionCheck:
         threshold: float = 2.0,
         sdf_offset: float = 0.0,
         max_points: Optional[int] = None,
+        cross_mode: str = "resample",
     ):
         from ..geometry.transform import (
             quaternion_from_matrix,
@@ -259,6 +320,7 @@ class IterativeCollisionCheck:
         self._voxel_dim = voxel_dim
         self._threshold = threshold
         self._sdf_offset = sdf_offset
+        self._cross_mode = cross_mode
 
     def refine(self, iterations: int = 30, alpha: float = 0.01):
         q, t, losses, n_iter = refine_collision(
@@ -276,6 +338,7 @@ class IterativeCollisionCheck:
             sdf_offset=self._sdf_offset,
             iterations=iterations,
             alpha=alpha,
+            cross_mode=self._cross_mode,
         )
         self._q = np.asarray(q)
         self._t = np.asarray(t)

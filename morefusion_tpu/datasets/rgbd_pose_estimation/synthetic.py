@@ -40,7 +40,9 @@ class SyntheticRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
         self._n_points_per_object = n_points_per_object
 
     def get_frame(self, index) -> dict:
-        rng = np.random.RandomState(self._seed * 1_000_003 + int(index))
+        rng = np.random.RandomState(
+            (self._seed * 1_000_003 + int(index)) % (2**32 - 1)
+        )
         n_obj = rng.randint(self._n_objects[0], self._n_objects[1] + 1)
         gen = PlaneTypeSceneGeneration(
             self._models,

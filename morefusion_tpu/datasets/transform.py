@@ -42,10 +42,13 @@ class Transform:
             np.float32
         )
 
+        # pitch/origin stay in both modes (our SingleView3D takes them as
+        # explicit inputs instead of recomputing per sample on device).
+        in_data["origin"] = in_data["origin"].astype(np.float32)
+        in_data["pitch"] = np.float32(in_data["pitch"])
+
         if not self._with_occupancy:
             for k in (
-                "pitch",
-                "origin",
                 "grid_target",
                 "grid_nontarget",
                 "grid_empty",
@@ -54,9 +57,6 @@ class Transform:
             ):
                 in_data.pop(k, None)
             return in_data
-
-        in_data["origin"] = in_data["origin"].astype(np.float32)
-        in_data["pitch"] = np.float32(in_data["pitch"])
 
         grid_target = in_data.pop("grid_target") > 0.5
         grid_nontarget = in_data.pop("grid_nontarget") > 0.5

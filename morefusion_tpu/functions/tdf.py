@@ -63,20 +63,20 @@ def _min_dist(points, valid, pitch, origin, dims, chunk):
     return dist, arg
 
 
-def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
-    dtype = points.dtype
+def _pick_tile(V: int):
+    """Largest voxel tile <= 2048 that divides V (None -> no Pallas path)."""
+    for t in (2048, 1024, 512, 256, 128):
+        if V % t == 0:
+            return t
+    return None
+
+
+def _scan_core(ip, valid, dims, chunk):
+    """Rank-2 streaming min/argmin in voxel-coordinate units^2 (XLA path)."""
+    dtype = ip.dtype
     X, Y, Z = dims
     V = X * Y * Z
-    P = points.shape[0]
-
-    pitch_t = jnp.asarray(pitch, dtype=dtype)
-    origin_arr = jnp.asarray(origin, dtype=dtype)
-
-    # continuous voxel coordinates; distances in voxel units x pitch
-    ip = (points - origin_arr) / pitch_t  # (P, 3)
-    nan_bad = jnp.any(jnp.isnan(ip), axis=-1)
-    valid = valid & ~nan_bad
-    ip = jnp.nan_to_num(ip)
+    P = ip.shape[0]
 
     centers = _voxel_centers((X, Y, Z), dtype)  # (V, 3)
     c2 = jnp.sum(centers * centers, axis=-1)  # (V,)
@@ -99,7 +99,7 @@ def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
             pts.T,
             preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (V, chunk) — MXU; stays on-chip at VMEM-sized chunks
+        )  # (V, chunk)
         d2 = c2[:, None] + p2[None, :] - 2.0 * cross
         d2 = jnp.where(vmask[None, :], d2, big)
         chunk_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
@@ -112,9 +112,61 @@ def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
     init = (jnp.full((V,), big, dtype), jnp.full((V,), -1, jnp.int32))
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
     (d2_min, arg_min), _ = jax.lax.scan(body, init, (ip_c, valid_c, bases))
-
-    dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
     arg_min = jnp.where(jnp.isinf(d2_min), -1, arg_min)
+    return d2_min, arg_min
+
+
+def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
+    """Rank-generic: points (..., P, 3); pitch (...,); origin (..., 3)."""
+    dtype = points.dtype
+    X, Y, Z = dims
+    V = X * Y * Z
+    batched = points.ndim == 3
+
+    pitch_t = jnp.asarray(pitch, dtype=dtype)
+    origin_arr = jnp.asarray(origin, dtype=dtype)
+
+    # continuous voxel coordinates; distances in voxel units x pitch
+    if batched:
+        ip = (points - origin_arr[:, None, :]) / pitch_t[:, None, None]
+    else:
+        ip = (points - origin_arr) / pitch_t
+    nan_bad = jnp.any(jnp.isnan(ip), axis=-1)
+    valid = valid & ~nan_bad
+    ip = jnp.nan_to_num(ip)
+
+    # TPU fast path: Pallas streaming kernel (MXU cross term, running
+    # min/argmin in VMEM — O(V + P) HBM traffic).
+    if jax.default_backend() != "cpu" and dtype == jnp.float32:
+        tile_v = _pick_tile(V)
+        if tile_v is not None:
+            from ..ops.min_dist_pallas import (
+                min_dist_voxels_pallas,
+                min_dist_voxels_pallas_batched,
+            )
+
+            if batched:
+                d2_min, arg_min = min_dist_voxels_pallas_batched(
+                    ip, valid, (X, Y, Z), tile_v=tile_v
+                )
+                dist = pitch_t[:, None] * jnp.sqrt(
+                    jnp.maximum(d2_min, 1e-12)
+                )
+            else:
+                d2_min, arg_min = min_dist_voxels_pallas(
+                    ip, valid, (X, Y, Z), tile_v=tile_v
+                )
+                dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
+            return dist, arg_min
+
+    if batched:
+        d2_min, arg_min = jax.vmap(
+            lambda a, b: _scan_core(a, b, dims, chunk)
+        )(ip, valid)
+        dist = pitch_t[:, None] * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
+    else:
+        d2_min, arg_min = _scan_core(ip, valid, dims, chunk)
+        dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
     return dist, arg_min
 
 
@@ -128,25 +180,35 @@ def _min_dist_bwd(dims, chunk, res, cts):
     g_dist, _ = cts  # integer-output cotangent is symbolic zero
     dtype = points.dtype
     X, Y, Z = dims
-    P = points.shape[0]
 
-    centers = _voxel_centers((X, Y, Z), dtype)  # (V, 3) in index units
-    centers_world = jnp.asarray(origin, dtype) + centers * jnp.asarray(
-        pitch, dtype
-    )
+    def one(points_i, pitch_i, origin_i, dist_i, arg_i, g_i):
+        P = points_i.shape[0]
+        centers = _voxel_centers((X, Y, Z), dtype)  # (V, 3) index units
+        centers_world = origin_i + centers * pitch_i
+        hit = arg_i >= 0
+        w = jnp.where(hit, arg_i, P)  # dump segment for empty voxels
+        p_w = points_i[jnp.where(hit, arg_i, 0)]  # (V, 3)
+        # d dist / d p_w = (p_w - voxel_center_world) / dist
+        direction = (p_w - centers_world) / jnp.maximum(dist_i, 1e-12)[
+            :, None
+        ]
+        contrib = jnp.where(hit[:, None], g_i[:, None] * direction, 0.0)
+        return jax.ops.segment_sum(contrib, w, num_segments=P + 1)[:-1]
 
-    hit = arg >= 0
-    w = jnp.where(hit, arg, P)  # dump segment for empty voxels
-    p_w = points[jnp.where(hit, arg, 0)]  # (V, 3)
-    # d dist / d p_w = (p_w - voxel_center_world) / dist
-    direction = (p_w - centers_world) / jnp.maximum(dist, 1e-12)[:, None]
-    contrib = jnp.where(
-        hit[:, None], g_dist[:, None] * direction, 0.0
+    pitch_t = jnp.asarray(pitch, dtype)
+    origin_t = jnp.asarray(origin, dtype)
+    if points.ndim == 3:
+        g_points = jax.vmap(one)(
+            points, pitch_t, origin_t, dist, arg, g_dist
+        )
+    else:
+        g_points = one(points, pitch_t, origin_t, dist, arg, g_dist)
+    return (
+        g_points,
+        None,
+        jnp.zeros_like(pitch_t),
+        jnp.zeros_like(origin_t),
     )
-    g_points = jax.ops.segment_sum(contrib, w, num_segments=P + 1)[:-1]
-    zero_pitch = jnp.zeros_like(jnp.asarray(pitch, dtype))
-    zero_origin = jnp.zeros_like(jnp.asarray(origin, dtype))
-    return g_points, None, zero_pitch, zero_origin
 
 
 _min_dist.defvjp(_min_dist_fwd, _min_dist_bwd)
@@ -167,7 +229,10 @@ def truncated_distance_function(
     """Per-voxel truncated distance to the nearest point (dense streaming).
 
     Args:
-      points: ``(P, 3)`` world-frame points (differentiable).
+      points: ``(P, 3)`` or batched ``(B, P, 3)`` world-frame points
+        (differentiable). Batched inputs take per-lane pitch ``(B,)``,
+        origin ``(B, 3)``, truncation ``(B,)`` and avoid ``vmap`` (the
+        Pallas fast path has an explicit batch grid).
       pitch / truncation: may be traced scalars (e.g. under vmap).
       origin: ``(3,)`` grid origin.
       dims: ``(X, Y, Z)``.
@@ -177,17 +242,19 @@ def truncated_distance_function(
       chunk: point-chunk size; (V, chunk) blocks should fit VMEM.
 
     Returns:
-      ``(X, Y, Z)`` distances in ``[0, truncation]``.
+      ``(X, Y, Z)`` (or ``(B, X, Y, Z)``) distances in ``[0, truncation]``.
     """
     del ksize
     points = jnp.asarray(points)
     dtype = points.dtype
     X, Y, Z = (int(d) for d in dims)
-    P = points.shape[0]
+    batched = points.ndim == 3
+    pshape = points.shape[:-1]  # (P,) or (B, P)
 
     trunc_t = jnp.asarray(truncation, dtype=dtype)
+    trunc_b = trunc_t[:, None] if batched else trunc_t
     valid = (
-        jnp.ones((P,), bool) if point_mask is None else jnp.asarray(point_mask)
+        jnp.ones(pshape, bool) if point_mask is None else jnp.asarray(point_mask)
     )
 
     dist, arg_min = _min_dist(
@@ -197,13 +264,14 @@ def truncated_distance_function(
         jnp.asarray(origin, dtype),
         (X, Y, Z),
         int(chunk),
-    )
-    tdf = jnp.minimum(dist, trunc_t).reshape(X, Y, Z)
+    )  # (V,) or (B, V)
+    out_shape = (X, Y, Z) if not batched else (-1, X, Y, Z)
+    tdf = jnp.minimum(dist, trunc_b).reshape(out_shape)
 
     if not return_indices:
         return tdf
-    hit = (jax.lax.stop_gradient(dist) < trunc_t) & (arg_min >= 0)
-    indices = jnp.where(hit, arg_min, -1).reshape(X, Y, Z)
+    hit = (jax.lax.stop_gradient(dist) < trunc_b) & (arg_min >= 0)
+    indices = jnp.where(hit, arg_min, -1).reshape(out_shape)
     return tdf, jax.lax.stop_gradient(indices)
 
 
@@ -300,13 +368,17 @@ def pseudo_occupancy_voxelization(
     to ``1 - w``.
 
     Args:
-      points: ``(P, 3)`` (differentiable — this is the collision-loss input).
+      points: ``(P, 3)`` or batched ``(B, P, 3)`` (differentiable — this is
+        the collision-loss input). Batched inputs take ``sdf (B, P)``,
+        per-lane pitch/origin/mask, and return ``(B, X, Y, Z)`` grids.
       sdf: ``(P,)`` inside-positive distance of each point in its CAD model.
       point_mask: optional ``(P,)`` validity mask for padded point sets.
 
     Returns:
       ``(grid_uniform, grid_surface, grid_inside)``, each ``(X, Y, Z)``.
     """
+    points = jnp.asarray(points)
+    batched = points.ndim == 3
     truncation = jnp.asarray(threshold) * jnp.asarray(pitch)
     tdf, indices = truncated_distance_function(
         points,
@@ -317,16 +389,28 @@ def pseudo_occupancy_voxelization(
         return_indices=True,
         point_mask=point_mask,
     )
-    grid = 1.0 - tdf / truncation  # [0, 1], differentiable w.r.t. points
+    trunc_b = (
+        truncation[:, None, None, None] if batched else truncation
+    )
+    grid = 1.0 - tdf / trunc_b  # [0, 1], differentiable w.r.t. points
 
     sdf = jnp.asarray(sdf, dtype=grid.dtype)
     hit = indices >= 0
     idx_safe = jnp.where(hit, indices, 0)
-    weight_inside = jnp.where(hit, sdf[idx_safe], -1.0) + sdf_offset
+    if batched:
+        B = points.shape[0]
+        picked = jnp.take_along_axis(
+            sdf, idx_safe.reshape(B, -1), axis=1
+        ).reshape(idx_safe.shape)
+    else:
+        picked = sdf[idx_safe]
+    weight_inside = jnp.where(hit, picked, -1.0) + sdf_offset
     neg = weight_inside < 0
     weight_inside = jnp.where(neg, 0.0, weight_inside)
+    reduce_axes = (1, 2, 3) if batched else None
+    wmax = jnp.max(weight_inside, axis=reduce_axes, keepdims=batched)
     weight_inside = weight_inside / jnp.maximum(
-        jnp.max(weight_inside), jnp.finfo(grid.dtype).tiny
+        wmax, jnp.finfo(grid.dtype).tiny
     )
 
     weight_surface = jnp.where(neg, weight_inside, 1.0 - weight_inside)

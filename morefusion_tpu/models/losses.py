@@ -89,27 +89,24 @@ def occupancy_loss(
     q = quaternion_pred[bidx, best]
     t = translation_pred[bidx, best]
 
-    def per_sample(q_i, t_i, pts, sdf, m, pitch_i, origin_i, g_tgt, g_nte):
-        T = F.transformation_matrix(q_i, t_i)
-        moved = F.transform_points(pts, T)  # (M, 3)
-        grid_u, _, _ = F.pseudo_occupancy_voxelization(
-            moved,
-            sdf,
-            pitch=pitch_i,
-            origin=origin_i,
-            dims=(voxel_dim,) * 3,
-            threshold=threshold,
-            point_mask=m,
-        )
-        reward = jnp.sum(grid_u * g_tgt) / (jnp.sum(g_tgt) + 1e-16)
-        penalty = jnp.sum(grid_u * g_nte) / (jnp.sum(grid_u) + 1e-16)
-        return penalty - reward
-
-    losses = jax.vmap(per_sample)(
-        q, t, solid_points, solid_sdf, solid_mask,
-        pitch, origin, grid_target, grid_nontarget_empty,
+    T = jax.vmap(F.transformation_matrix)(q, t)  # (B, 4, 4)
+    moved = jax.vmap(F.transform_points)(solid_points, T)  # (B, M, 3)
+    grid_u, _, _ = F.pseudo_occupancy_voxelization(
+        moved,
+        solid_sdf,
+        pitch=pitch,
+        origin=origin,
+        dims=(voxel_dim,) * 3,
+        threshold=threshold,
+        point_mask=solid_mask,
+    )  # batched (B, V, V, V) — no vmap, Pallas-friendly
+    reward = jnp.sum(grid_u * grid_target, axis=(1, 2, 3)) / (
+        jnp.sum(grid_target, axis=(1, 2, 3)) + 1e-16
     )
-    return jnp.mean(losses)
+    penalty = jnp.sum(grid_u * grid_nontarget_empty, axis=(1, 2, 3)) / (
+        jnp.sum(grid_u, axis=(1, 2, 3)) + 1e-16
+    )
+    return jnp.mean(penalty - reward)
 
 
 def evaluate_add(

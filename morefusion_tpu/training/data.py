@@ -1,0 +1,95 @@
+"""Host-side data feeding: shuffled batching with background prefetch.
+
+Replaces the reference's ``MultithreadIterator`` (``train.py:360-365``):
+a thread prefetches transformed, stacked batches while the device computes.
+Fixed shapes throughout (256^2 crops, 32^3 grids) keep XLA recompile-free.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from .trainer import stack_examples
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        transform: Optional[Callable] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        indices: Optional[np.ndarray] = None,
+    ):
+        self._dataset = dataset
+        self._batch_size = batch_size
+        self._transform = transform
+        self._shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self._drop_last = drop_last
+        self._prefetch = prefetch
+        self._indices = (
+            np.arange(len(dataset)) if indices is None else np.asarray(indices)
+        )
+
+    def __len__(self):
+        n = len(self._indices)
+        if self._drop_last:
+            return n // self._batch_size
+        return -(-n // self._batch_size)
+
+    def _epoch_indices(self):
+        idx = self._indices.copy()
+        if self._shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, batch_idx):
+        examples = []
+        for i in batch_idx:
+            ex = self._dataset[int(i)]
+            if self._transform is not None:
+                ex = self._transform(ex)
+            examples.append(ex)
+        return stack_examples(examples)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for b in range(n_batches):
+                if stop.is_set():
+                    return
+                lo = b * self._batch_size
+                batch_idx = idx[lo : lo + self._batch_size]
+                if self._drop_last and len(batch_idx) < self._batch_size:
+                    break
+                try:
+                    q.put(self._make_batch(batch_idx))
+                except Exception as e:  # surface loader errors to the consumer
+                    q.put(e)
+                    return
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

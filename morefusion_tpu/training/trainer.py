@@ -132,7 +132,7 @@ def make_train_step(
             rng=sample_rng,
             train=True,
         )
-        if "pitch" in batch:
+        if "pitch" in batch and hasattr(model, "voxel_dim"):
             kwargs["pitch"] = batch["pitch"]
         if with_occupancy:
             kwargs["origin"] = batch.get("origin")
@@ -243,7 +243,7 @@ def make_eval_step(model, bank: CadPointBank, with_occupancy: bool = False):
             rng=jax.random.PRNGKey(1234),  # ref: fixed eval seed
             train=False,
         )
-        if "pitch" in batch:
+        if "pitch" in batch and hasattr(model, "voxel_dim"):
             kwargs["pitch"] = batch["pitch"]
         if with_occupancy:
             kwargs["origin"] = batch.get("origin")
@@ -277,7 +277,7 @@ def create_train_state(
         pcd=example_batch["pcd"],
         rng=jax.random.PRNGKey(0),
     )
-    if "pitch" in example_batch:
+    if "pitch" in example_batch and hasattr(model, "voxel_dim"):
         kwargs["pitch"] = example_batch["pitch"]
     if with_occupancy:
         kwargs["origin"] = example_batch.get("origin")
