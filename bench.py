@@ -59,14 +59,16 @@ def main():
     # device-resident inputs so we measure compute, not H2D
     inputs = jax.device_put((params, class_id, rgb, pcd, pitch, grid))
 
+    # NOTE: jax.block_until_ready does not reliably block through the
+    # remote TPU relay in this environment; a device->host readback does.
     for _ in range(args.warmup):
         out = predict(*inputs)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out[2])
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = predict(*inputs)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out[2])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     fps = args.iters * B / dt

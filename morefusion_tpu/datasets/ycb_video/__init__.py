@@ -7,3 +7,16 @@ from .class_names import class_names_asymmetric
 from .class_names import class_names_symmetric
 from .class_names import n_fg_classes
 from .class_names import symmetric_flags
+
+
+def __getattr__(name):
+    # Lazy: these require the real YCB-Video data on disk.
+    if name in ("YCBVideoModels",):
+        from .models import YCBVideoModels
+
+        return YCBVideoModels
+    if name in ("YCBVideoDataset", "YCBVideoRGBDPoseEstimationDataset"):
+        from . import dataset as _d
+
+        return getattr(_d, name)
+    raise AttributeError(name)

@@ -1,0 +1,148 @@
+"""Minimal mesh IO + mesh geometry (no trimesh dependency).
+
+Supports what the YCB-Video asset pipeline needs from
+``textured_simple.obj`` / ``points.xyz`` files: vertex/face parsing,
+surface sampling, bbox, and solid voxelization via watertight-mesh ray
+parity (replaces binvox, ``morefusion/utils/get_binvox_file.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse an OBJ file -> (vertices (V, 3) float64, faces (F, 3) int32).
+
+    Polygons are fan-triangulated; normals/texcoords ignored.
+    """
+    vertices = []
+    faces = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                vertices.append(
+                    [float(parts[1]), float(parts[2]), float(parts[3])]
+                )
+            elif line.startswith("f "):
+                idx = [
+                    int(p.split("/")[0]) - 1 for p in line.split()[1:]
+                ]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(vertices, dtype=np.float64),
+        np.asarray(faces, dtype=np.int32),
+    )
+
+
+def load_xyz(path: str) -> np.ndarray:
+    """Parse a whitespace-separated points file -> (N, 3)."""
+    return np.loadtxt(path, dtype=np.float64)[:, :3]
+
+
+def face_areas(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    a = vertices[faces[:, 0]]
+    b = vertices[faces[:, 1]]
+    c = vertices[faces[:, 2]]
+    return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+
+
+def sample_surface(
+    vertices: np.ndarray, faces: np.ndarray, n: int, rng=None
+) -> np.ndarray:
+    """Area-weighted uniform surface sampling."""
+    rng = rng or np.random.RandomState(0)
+    areas = face_areas(vertices, faces)
+    probs = areas / areas.sum()
+    face_idx = rng.choice(len(faces), size=n, p=probs)
+    u = rng.uniform(size=(n, 1))
+    v = rng.uniform(size=(n, 1))
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    tri = vertices[faces[face_idx]]
+    return tri[:, 0] + u * (tri[:, 1] - tri[:, 0]) + v * (tri[:, 2] - tri[:, 0])
+
+
+def _ray_triangle_hits_z(vertices, faces, xy_points, eps=1e-12):
+    """For +z rays from each (x, y, z=-inf): intersection z values.
+
+    Vectorized Moller-Trumbore specialized to axis rays; returns a list of
+    crossing-z arrays per query (used for parity tests / z-intervals).
+    """
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    # project to xy for point-in-triangle tests (z-axis rays)
+    d1 = v1[:, :2] - v0[:, :2]
+    d2 = v2[:, :2] - v0[:, :2]
+    denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    ok = np.abs(denom) > eps
+
+    hits = []
+    for q in xy_points:
+        rel = q[None, :2] - v0[:, :2]
+        u = (rel[:, 0] * d2[:, 1] - rel[:, 1] * d2[:, 0]) / np.where(
+            ok, denom, 1.0
+        )
+        v = (d1[:, 0] * rel[:, 1] - d1[:, 1] * rel[:, 0]) / np.where(
+            ok, denom, 1.0
+        )
+        inside = ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+        z = (
+            v0[inside, 2]
+            + u[inside] * (v1[inside, 2] - v0[inside, 2])
+            + v[inside] * (v2[inside, 2] - v0[inside, 2])
+        )
+        hits.append(np.sort(z))
+    return hits
+
+
+def solid_voxelize(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    dim: int = 48,
+) -> Tuple[np.ndarray, float, np.ndarray]:
+    """Watertight-mesh solid voxelization by z-ray parity counting.
+
+    Returns (occupancy (dim, dim, dim) bool, pitch, origin) on a cube grid
+    over the mesh bbox — the binvox role for real CAD assets.
+    """
+    lo = vertices.min(axis=0)
+    hi = vertices.max(axis=0)
+    center = (lo + hi) / 2
+    half = float((hi - lo).max()) / 2 * 1.02
+    pitch = 2 * half / dim
+    origin = center - half + pitch / 2
+
+    xs = origin[0] + np.arange(dim) * pitch
+    ys = origin[1] + np.arange(dim) * pitch
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    queries = np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+    occ = np.zeros((dim, dim, dim), dtype=bool)
+    zs = origin[2] + np.arange(dim) * pitch
+    hits = _ray_triangle_hits_z(vertices, faces, queries)
+    for qi, z_cross in enumerate(hits):
+        if len(z_cross) < 2:
+            continue
+        i, j = qi // dim, qi % dim
+        # parity: inside between consecutive crossing pairs
+        inside = np.searchsorted(z_cross, zs, side="left") % 2 == 1
+        occ[i, j] = inside
+    return occ, pitch, origin
+
+
+def inside_distance_from_occupancy(
+    occ: np.ndarray, pitch: float
+) -> np.ndarray:
+    """Inside-positive distance per occupied voxel via EDT (the reference's
+    trimesh signed-distance role for solid points)."""
+    import scipy.ndimage
+
+    dist = scipy.ndimage.distance_transform_edt(occ) * pitch
+    return dist[occ]

@@ -2,24 +2,32 @@
 
 The hot op of the pseudo-occupancy / TDF pipeline (and therefore of the
 ICC joint refiner). For every voxel center of a dense (X, Y, Z) grid,
-find the nearest point of a (P, 3) set:
+find the nearest point of a (P, 3) set. Design notes (each worth ~2-5x,
+measured on v5e):
 
-- the grid tiles over voxels; each program holds its (TILE_V,) tile's
-  coordinates (computed from iota — never loaded from HBM);
-- points live VMEM-resident as an (8, P) transposed, K-padded block;
-- each point chunk contributes a (TILE_V, CHUNK) squared-distance block
-  via one MXU matmul (cross term) that never leaves VMEM;
-- **composite-key min**: a naive per-chunk ``argmin`` is a cross-lane
-  reduction that dominates the kernel (~5x the min-only cost). Instead
-  the point index is packed into the low 14 mantissa bits of the d2
-  float's bit pattern — positive IEEE-754 floats order identically to
-  their int32 bits, so a single integer ``min`` reduce yields both the
-  (quantized) min distance and its winner; the exact distance is
-  recomputed outside with one gather. Tie-break = lowest index.
-
-This is the Pallas analogue of the reference's atomicMin CUDA kernel
-(``morefusion/functions/geometry/truncated_distance_function.py:44-93``),
-redesigned as a gather/reduce instead of a scatter.
+- **gather/reduce, not scatter**: the reference CUDA kernel scatters
+  per-point candidates with atomicMin
+  (``truncated_distance_function.py:44-93``); XLA lowers scatters to slow
+  serialized updates on TPU, so we invert the loop: every voxel streams
+  over point chunks, cross term on the MXU, running min in registers.
+- **composite-key min instead of argmin**: a per-chunk ``argmin`` is a
+  cross-lane reduction that dominates everything (~5x min-only). The point
+  index is packed into the low 14 bits of the d2 float's bit pattern
+  (positive IEEE-754 floats order identically to their int32 bits), so one
+  integer ``min`` yields value and winner together; the winner's exact
+  distance is recomputed outside with one gather. Tie-break = lowest index.
+- **sublane-axis reduction**: distance blocks are laid out (CHUNK, TILE_V)
+  with the voxel tile on the lane axis, so the min-reduce runs over
+  sublanes (cheap register shifts) instead of lanes (expensive shuffles).
+- **fp32 MXU passes**: bf16 suffers catastrophic cancellation in
+  ``p2 - 2*cross + c2`` (absolute error ~|cross| * 2^-8), displacing
+  winners far outside the composite-key quantum.
+- **sublane-major point blocks + scratch accumulator**: points stream in
+  (P_SUB, 8) VMEM blocks over a third (sequential) grid axis; the running
+  composite min lives in VMEM scratch (persists across grid steps) and the
+  output tile is written once on the last visit — reading the output block
+  as the loop carry instead costs ~5x (it serializes Mosaic's output
+  pipelining), and a single (P, 8) block fails to compile past P=8192.
 """
 
 from __future__ import annotations
@@ -34,128 +42,175 @@ from jax.experimental.pallas import tpu as pltpu
 _IDX_BITS = 14
 _IDX_MASK = (1 << _IDX_BITS) - 1  # 16383
 MAX_POINTS = 1 << _IDX_BITS  # composite key fits P <= 16384
+_P_SUB = 2048  # points per streamed VMEM block
+_MAXINT = 0x7FFFFFFF  # python int: jnp constants would be captured tracers in kernels
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tile_coords(tile, tile_v, dims):
+def _kernel(
+    pts_ref,  # (1, P_SUB, 8) sublane-major K-padded points
+    p2_ref,  # (1, P_SUB, 1) masked |p|^2
+    out_ref,  # (TILE_V,) composite keys (written on the last visit)
+    acc_ref,  # VMEM scratch (TILE_V,) int32 — running min across visits
+    *,
+    dims,
+    tile_v,
+    chunk,
+    p_sub,
+):
     X, Y, Z = dims
+    tile = pl.program_id(1)
+    s = pl.program_id(2)
+    n_super = pl.num_programs(2)
+
     flat = (
         tile * tile_v
-        + jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0)[:, 0]
+        + jax.lax.broadcasted_iota(jnp.int32, (1, tile_v), 1)[0]
     )
     ci = (flat // (Y * Z)).astype(jnp.float32)
     cj = ((flat // Z) % Y).astype(jnp.float32)
     ck = (flat % Z).astype(jnp.float32)
-    zeros = jnp.zeros((tile_v,), jnp.float32)
-    coords = jnp.stack(
-        [ci, cj, ck, zeros, zeros, zeros, zeros, zeros], axis=1
-    )  # (TILE_V, 8) K-padded for the MXU
-    c2 = ci * ci + cj * cj + ck * ck
-    return coords, c2
-
-
-def _composite_min_body(coords, c2, pts_ref, p2_ref, chunk, lead):
-    """Returns a fori_loop body computing the running composite-key min."""
+    coords_t = jnp.concatenate(
+        [ci[None], cj[None], ck[None], jnp.zeros((5, tile_v), jnp.float32)],
+        axis=0,
+    )  # (8, TILE_V)
+    c2 = ci * ci + cj * cj + ck * ck  # (TILE_V,)
 
     def body(c, key_min):
-        p = pts_ref[lead + (slice(None), pl.ds(c * chunk, chunk))]
-        pp = p2_ref[lead + (0, pl.ds(c * chunk, chunk))]
+        p_t = pts_ref[0, pl.ds(c * chunk, chunk), :]  # (CHUNK, 8)
+        pp = p2_ref[0, pl.ds(c * chunk, chunk), 0]  # (CHUNK,)
         cross = jnp.dot(
-            coords,
-            p,
+            p_t,
+            coords_t,
             preferred_element_type=jnp.float32,
-            # full fp32 passes: plain bf16 suffers catastrophic
-            # cancellation in c2 - 2*cross + p2 (absolute error ~|cross|
-            # * 2^-8 ~ 12 voxel-units^2), displacing winners far outside
-            # the composite-key quantum
             precision=jax.lax.Precision.HIGHEST,
-        )  # (TILE_V, CHUNK) — MXU
-        d2 = c2[:, None] - 2.0 * cross + pp[None, :]
-        # pack the point index into the low mantissa bits
-        idx = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, d2.shape, dimension=1
+        )  # (CHUNK, TILE_V) — MXU; voxel tile on the lane axis
+        d2 = pp[:, None] - 2.0 * cross + c2[None, :]
+        idx = (
+            s * p_sub
+            + c * chunk
+            + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         )
         bits = pltpu.bitcast(jnp.maximum(d2, 0.0), jnp.int32)
         comp = (bits & ~jnp.int32(_IDX_MASK)) | idx
-        return jnp.minimum(key_min, jnp.min(comp, axis=1))
+        return jnp.minimum(key_min, jnp.min(comp, axis=0))
 
-    return body
+    local = jax.lax.fori_loop(
+        0, p_sub // chunk, body, jnp.full((tile_v,), _MAXINT, jnp.int32)
+    )
 
+    @pl.when(s == 0)
+    def _():
+        acc_ref[:] = local
 
-def _kernel(pts_ref, p2_ref, out_key_ref, *, dims, tile_v, chunk):
-    coords, c2 = _tile_coords(pl.program_id(0), tile_v, dims)
-    P = pts_ref.shape[-1]
-    body = _composite_min_body(coords, c2, pts_ref, p2_ref, chunk, ())
-    init = jnp.full((tile_v,), jnp.int32(0x7FFFFFFF))
-    out_key_ref[:] = jax.lax.fori_loop(0, P // chunk, body, init)
+    @pl.when(s > 0)
+    def _():
+        acc_ref[:] = jnp.minimum(acc_ref[:], local)
 
-
-def _kernel_batched(pts_ref, p2_ref, out_key_ref, *, dims, tile_v, chunk):
-    coords, c2 = _tile_coords(pl.program_id(1), tile_v, dims)
-    P = pts_ref.shape[-1]
-    body = _composite_min_body(coords, c2, pts_ref, p2_ref, chunk, (0,))
-    init = jnp.full((tile_v,), jnp.int32(0x7FFFFFFF))
-    out_key_ref[:] = jax.lax.fori_loop(0, P // chunk, body, init)
+    @pl.when(s == n_super - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
 
 
-def _prepare(ip, valid, chunk):
-    """(B?, P, 3) -> transposed K-padded points + masked |p|^2."""
+def _prepare(ip, valid, p_sub):
+    """(B?, P, 3) -> (B?, Pp, 8) sublane-major points + (B?, Pp, 1) |p|^2."""
     P = ip.shape[-2]
     if P > MAX_POINTS:
-        raise ValueError(
-            f"P={P} exceeds composite-key capacity {MAX_POINTS}"
-        )
-    Pp = _round_up(max(P, chunk), chunk)
+        raise ValueError(f"P={P} exceeds composite-key capacity {MAX_POINTS}")
+    Pp = _round_up(max(P, p_sub), p_sub)
     ipf = jnp.nan_to_num(ip.astype(jnp.float32))
     big = jnp.float32(1e30)
     p2 = jnp.sum(ipf * ipf, axis=-1) + jnp.where(
         valid & ~jnp.any(jnp.isnan(ip), axis=-1), 0.0, big
     )
-    if ip.ndim == 3:
-        B = ip.shape[0]
-        pts_t = (
-            jnp.zeros((B, 8, Pp), jnp.float32)
-            .at[:, :3, :P]
-            .set(jnp.swapaxes(ipf, 1, 2))
-        )
-        p2_p = jnp.full((B, 1, Pp), big, jnp.float32).at[:, 0, :P].set(p2)
-    else:
-        pts_t = jnp.zeros((8, Pp), jnp.float32).at[:3, :P].set(ipf.T)
-        p2_p = jnp.full((1, Pp), big, jnp.float32).at[0, :P].set(p2)
-    return pts_t, p2_p, Pp
+    batched = ip.ndim == 3
+    lead = (ip.shape[0],) if batched else ()
+    pts = jnp.zeros(lead + (Pp, 8), jnp.float32)
+    pts = pts.at[..., :P, :3].set(ipf)
+    p2_p = jnp.full(lead + (Pp, 1), big, jnp.float32)
+    p2_p = p2_p.at[..., :P, 0].set(p2)
+    return pts, p2_p, Pp
 
 
-def _finalize(key, ip, valid):
+def _finalize(key, ip, valid, dims):
     """Composite keys -> (exact d2 per voxel, winner index or -1)."""
-    arg = key & jnp.int32(_IDX_MASK)  # (..., V)
+    X, Y, Z = dims
+    V = X * Y * Z
+    arg = key & jnp.int32(_IDX_MASK)
     P = ip.shape[-2]
     arg = jnp.clip(arg, 0, P - 1)
     ipf = jnp.nan_to_num(ip.astype(jnp.float32))
 
-    # exact winner distance: one gather + 9 flops per voxel
+    idx = jnp.arange(V, dtype=jnp.int32)
+    centers = jnp.stack(
+        [
+            (idx // (Y * Z)).astype(jnp.float32),
+            ((idx // Z) % Y).astype(jnp.float32),
+            (idx % Z).astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (V, 3)
+
     if ip.ndim == 3:
-        B, _, _ = ip.shape
-        V = key.shape[-1]
-        winner_pts = jnp.take_along_axis(
-            ipf, arg[..., None].reshape(B, V, 1), axis=1
-        )  # (B, V, 3)
+        winner_pts = jnp.take_along_axis(ipf, arg[..., None], axis=1)
         winner_valid = jnp.take_along_axis(valid, arg, axis=1)
+        d2 = jnp.sum((winner_pts - centers[None]) ** 2, axis=-1)
     else:
         winner_pts = ipf[arg]
         winner_valid = valid[arg]
-    return winner_pts, winner_valid, arg
+        d2 = jnp.sum((winner_pts - centers) ** 2, axis=-1)
+    d2 = jnp.where(winner_valid, d2, jnp.inf)
+    arg = jnp.where(winner_valid, arg, -1)
+    return d2, arg
 
 
-def _centers_of(dims, V):
+def _run(ip, valid, dims, tile_v, chunk):
     X, Y, Z = dims
-    idx = jnp.arange(V, dtype=jnp.int32)
-    ci = (idx // (Y * Z)).astype(jnp.float32)
-    cj = ((idx // Z) % Y).astype(jnp.float32)
-    ck = (idx % Z).astype(jnp.float32)
-    return jnp.stack([ci, cj, ck], axis=-1)  # (V, 3)
+    V = X * Y * Z
+    assert V % tile_v == 0, (V, tile_v)
+    batched = ip.ndim == 3
+    B = ip.shape[0] if batched else 1
+    ip_b = ip if batched else ip[None]
+    valid_b = valid if batched else valid[None]
+
+    pts, p2_p, Pp = _prepare(ip_b, valid_b, _P_SUB)
+    n_tiles = V // tile_v
+    n_super = Pp // _P_SUB
+
+    key = pl.pallas_call(
+        functools.partial(
+            _kernel, dims=dims, tile_v=tile_v, chunk=chunk, p_sub=_P_SUB
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * V,), jnp.int32),
+        grid=(B, n_tiles, n_super),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _P_SUB, 8),
+                lambda b, i, s: (b, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _P_SUB, 1),
+                lambda b, i, s: (b, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_v,),
+            lambda b, i, s: (b * n_tiles + i,),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_v,), jnp.int32)],
+    )(pts, p2_p)
+
+    key = key.reshape(B, V)
+    d2, arg = _finalize(key, ip_b, valid_b, dims)
+    if not batched:
+        return d2[0], arg[0]
+    return d2, arg
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
@@ -164,33 +219,10 @@ def min_dist_voxels_pallas(
     valid: jnp.ndarray,  # (P,) bool
     dims,
     tile_v: int = 2048,
-    chunk: int = 512,
+    chunk: int = 256,
 ):
     """Returns (d2_min (V,), argmin (V,)) in voxel-coordinate units^2."""
-    X, Y, Z = dims
-    V = X * Y * Z
-    assert V % tile_v == 0, (V, tile_v)
-    pts_t, p2_p, Pp = _prepare(ip, valid, chunk)
-
-    key = pl.pallas_call(
-        functools.partial(_kernel, dims=dims, tile_v=tile_v, chunk=chunk),
-        out_shape=jax.ShapeDtypeStruct((V,), jnp.int32),
-        grid=(V // tile_v,),
-        in_specs=[
-            pl.BlockSpec((8, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_v,), lambda i: (i,), memory_space=pltpu.VMEM
-        ),
-    )(pts_t, p2_p)
-
-    winner_pts, winner_valid, arg = _finalize(key, ip, valid)
-    centers = _centers_of(dims, V)
-    d2 = jnp.sum((winner_pts - centers) ** 2, axis=-1)
-    d2 = jnp.where(winner_valid, d2, jnp.inf)
-    arg = jnp.where(winner_valid, arg, -1)
-    return d2, arg
+    return _run(ip, valid, dims, tile_v, chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
@@ -199,45 +231,11 @@ def min_dist_voxels_pallas_batched(
     valid: jnp.ndarray,  # (B, P)
     dims,
     tile_v: int = 2048,
-    chunk: int = 512,
+    chunk: int = 256,
 ):
-    """Batched variant: explicit batch grid dimension (vmap of a Pallas
+    """Batched variant (explicit batch grid dimension — vmap of a Pallas
     call would produce block shapes the TPU lowering rejects).
 
     Returns (d2_min (B, V), argmin (B, V)).
     """
-    X, Y, Z = dims
-    V = X * Y * Z
-    assert V % tile_v == 0, (V, tile_v)
-    B = ip.shape[0]
-    pts_t, p2_p, Pp = _prepare(ip, valid, chunk)
-
-    n_tiles = V // tile_v
-    key = pl.pallas_call(
-        functools.partial(
-            _kernel_batched, dims=dims, tile_v=tile_v, chunk=chunk
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * V,), jnp.int32),
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, Pp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, Pp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_v,),
-            lambda b, i: (b * n_tiles + i,),
-            memory_space=pltpu.VMEM,
-        ),
-    )(pts_t, p2_p)
-
-    key = key.reshape(B, V)
-    winner_pts, winner_valid, arg = _finalize(key, ip, valid)
-    centers = _centers_of(dims, V)  # (V, 3)
-    d2 = jnp.sum((winner_pts - centers[None]) ** 2, axis=-1)
-    d2 = jnp.where(winner_valid, d2, jnp.inf)
-    arg = jnp.where(winner_valid, arg, -1)
-    return d2, arg
+    return _run(ip, valid, dims, tile_v, chunk)

@@ -125,7 +125,9 @@ def test_transform_cases():
 
     tr_plain = datasets.Transform(train=True, with_occupancy=False)
     out2 = tr_plain(dict(e))
-    assert "grid_target" not in out2 and "pitch" not in out2
+    assert "grid_target" not in out2
+    # pitch/origin stay (our SingleView3D takes them as explicit inputs)
+    assert "pitch" in out2 and "origin" in out2
 
 
 def test_reindex_roundtrip(tmp_path):
