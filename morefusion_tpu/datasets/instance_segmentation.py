@@ -1,0 +1,78 @@
+"""Instance-segmentation training data.
+
+Reference: ``morefusion/datasets/instance_segmentation/*`` — frame ->
+(rgb, bboxes, labels, masks) for detector training. Our UNet consumes
+dense class maps instead of box/mask lists, so the primary example format
+is (rgb, class_label (H, W) int32); the reference's tuple format is
+available via ``format='masks'`` for API parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.bbox import masks_to_bboxes
+from .base import DatasetBase
+from .procedural import ProceduralModels
+from .rgbd_pose_estimation.synthetic import SyntheticRGBDPoseEstimationDataset
+
+
+def frame_to_class_label(frame: dict) -> np.ndarray:
+    """instance_label + class ids -> dense class map (0 = background)."""
+    label = frame["instance_label"]
+    out = np.zeros(label.shape, np.int32)
+    for ins_id, cls_id in zip(frame["instance_ids"], frame["class_ids"]):
+        out[label == ins_id] = cls_id
+    return out
+
+
+def frame_to_masks(frame: dict):
+    """Reference tuple format: (rgb, bboxes, labels, masks)."""
+    label = frame["instance_label"]
+    masks, labels = [], []
+    for ins_id, cls_id in zip(frame["instance_ids"], frame["class_ids"]):
+        m = label == ins_id
+        if not m.any():
+            continue
+        masks.append(m)
+        labels.append(cls_id)
+    masks = (
+        np.stack(masks) if masks else np.zeros((0,) + label.shape, bool)
+    )
+    labels = np.asarray(labels, np.int32)
+    bboxes = masks_to_bboxes(masks) if len(masks) else np.zeros((0, 4))
+    return frame["rgb"], bboxes, labels, masks
+
+
+class SyntheticInstanceSegmentationDataset(DatasetBase):
+    """Synthetic frames -> segmentation training examples."""
+
+    def __init__(
+        self,
+        split: str = "train",
+        n_frames: int = 200,
+        image_shape=(240, 320),
+        format: str = "class_label",
+        seed: int = 0,
+        n_objects=(3, 6),
+    ):
+        assert format in ("class_label", "masks")
+        self._format = format
+        self._frames = SyntheticRGBDPoseEstimationDataset(
+            split=split,
+            n_frames=n_frames,
+            image_shape=image_shape,
+            seed=seed,
+            n_objects=n_objects,
+        )
+        self._split = split
+        self._ids = list(range(n_frames))
+
+    def get_example(self, index):
+        frame = self._frames.get_frame(index)
+        if self._format == "masks":
+            return frame_to_masks(frame)
+        return dict(
+            rgb=frame["rgb"].astype(np.float32),
+            class_label=frame_to_class_label(frame),
+        )

@@ -2,3 +2,5 @@
 from . import image
 from . import render
 from . import sdf_primitives
+from . import meshio
+from . import viz
