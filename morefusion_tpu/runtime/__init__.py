@@ -19,3 +19,7 @@ from .picking import build_occlusion_graph
 from .picking import select_picking_order
 from .picking import suction_grasp_pose
 from .pipeline import ScenePipeline
+from .robot import PickAction
+from .robot import PickAndPlacePlanner
+from .robot import RobotInterface
+from .robot import SimulatedRobotInterface
