@@ -14,3 +14,6 @@ from .rgbd_pose_estimation.reindex import reindex
 from .rgbd_pose_estimation.reindexed import RGBDPoseEstimationDatasetReIndexed
 from .rgbd_pose_estimation.reindexed import RandomSamplingDataset
 from . import ycb_video
+from .external_results import load_posecnn_mat
+from .external_results import load_results_json
+from .instance_segmentation import SyntheticInstanceSegmentationDataset

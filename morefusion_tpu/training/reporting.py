@@ -41,10 +41,21 @@ def load_args(out_dir: str) -> Dict:
 class LogReport:
     """Append observation rows; write log.json atomically; optional TB."""
 
-    def __init__(self, out_dir: str, use_tensorboard: bool = False):
+    def __init__(
+        self, out_dir: str, use_tensorboard: bool = False, resume: bool = True
+    ):
         self._out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self._log = []
+        log_path = os.path.join(out_dir, "log.json")
+        if resume and os.path.exists(log_path):
+            # keep history across resumes (reference
+            # LogTensorboardReport.serialize, :85-100)
+            try:
+                with open(log_path) as f:
+                    self._log = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass
         self._writer = None
         if use_tensorboard:
             try:
