@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""ICP vs ICC side-by-side on perturbed synthetic scenes.
+
+Equivalent of the reference's pose-refinement study
+(``examples/ycb_video/pose_refinement/check_icp_vs_icc.py``), headless:
+perturb ground-truth poses, refine with (a) per-object ICP, (b) joint ICC,
+(c) ICC then ICP, and print mean ADD before/after per method.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--n-scenes", type=int, default=3)
+    parser.add_argument("--n-objects", type=int, default=3)
+    parser.add_argument("--angle-deg", type=float, default=8.0)
+    parser.add_argument("--trans", type=float, default=0.015)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import numpy as np
+    import scipy.spatial.transform
+
+    from morefusion_tpu.contrib import (
+        ICPRegistration,
+        IterativeCollisionCheck,
+    )
+    from morefusion_tpu.datasets import ProceduralModels
+    from morefusion_tpu.geometry import pointcloud_from_depth
+    from morefusion_tpu.geometry.transform import transform_points_np
+    from morefusion_tpu.metrics import average_distance
+    from morefusion_tpu.runtime.fusion import OccupancyFusion
+    from morefusion_tpu.simulation import PlaneTypeSceneGeneration
+
+    rng = np.random.RandomState(args.seed)
+    models = ProceduralModels()
+    errors = {"init": [], "icp": [], "icc": [], "icc+icp": []}
+
+    for scene_i in range(args.n_scenes):
+        gen = PlaneTypeSceneGeneration(
+            models, n_object=args.n_objects,
+            random_state=np.random.RandomState(args.seed + scene_i),
+        )
+        gen.generate()
+        T_cam = gen.random_camera_trajectory(4, 3, distance=(0.5, 0.7))[0]
+        frame = gen.render_frame(T_cam, shape=(240, 320))
+        K = frame["intrinsic_matrix"]
+        depth = frame["depth"]
+        label = frame["instance_label"]
+        pcd_cam = pointcloud_from_depth(
+            depth, fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2]
+        )
+        # world-frame fusion for ICC grids
+        H, W = depth.shape
+        flat = pcd_cam.reshape(-1, 3)
+        ok = ~np.isnan(flat).any(axis=1)
+        pcd_world = np.full_like(flat, np.nan)
+        pcd_world[ok] = transform_points_np(
+            flat[ok], frame["T_cam2world"]
+        )
+        pcd_world = pcd_world.reshape(H, W, 3)
+
+        fusion = OccupancyFusion(models, size_filter=False)
+        inst_to_class = {
+            int(i): int(c)
+            for i, c in zip(frame["instance_ids"], frame["class_ids"])
+        }
+        fusion.process_frame(
+            pcd_world, label, inst_to_class, track=False,
+            camera_origin=frame["T_cam2world"][:3, 3],
+        )
+
+        # ground truth in world frame + perturbed initializations
+        ids = sorted(inst_to_class)
+        T_true, T_init = {}, {}
+        for k, ins in enumerate(ids):
+            Tt = frame["T_cam2world"] @ frame["Ts_cad2cam"][k]
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            P = np.eye(4)
+            P[:3, :3] = scipy.spatial.transform.Rotation.from_rotvec(
+                np.radians(args.angle_deg) * axis
+            ).as_matrix()
+            P[:3, 3] = rng.uniform(-args.trans, args.trans, 3)
+            T_true[ins] = Tt
+            T_init[ins] = Tt @ P
+
+        def add_of(Ts):
+            out = []
+            for ins in ids:
+                cad = models.get_pcd(inst_to_class[ins])
+                a, _ = average_distance(
+                    [cad], [T_true[ins]], [Ts[ins]]
+                )
+                out.append(float(a[0]))
+            return out
+
+        errors["init"] += add_of(T_init)
+
+        # (a) per-object ICP against observed world points
+        def icp_refine(T_in):
+            out = {}
+            for ins in ids:
+                mask = (label == ins) & ~np.isnan(pcd_world).any(axis=2)
+                pts = pcd_world[mask]
+                cad = models.get_pcd(inst_to_class[ins])
+                if len(pts) < 10:
+                    out[ins] = T_in[ins]
+                    continue
+                out[ins] = ICPRegistration(
+                    pts, cad, T_in[ins]
+                ).register(voxel_size=0.01)
+            return out
+
+        T_icp = icp_refine(T_init)
+        errors["icp"] += add_of(T_icp)
+
+        # (b) joint ICC using fused grids
+        pts_l, sdf_l, pitch_l, origin_l, g_t, g_ne, Ts0 = (
+            [], [], [], [], [], [], []
+        )
+        for ins in ids:
+            vox = models.get_solid_voxel_grid(inst_to_class[ins])
+            pts_l.append(vox.points.astype(np.float32))
+            sdf_l.append(vox.inside_distance.astype(np.float32))
+            pitch = models.get_voxel_pitch(32, inst_to_class[ins])
+            mask = (label == ins) & ~np.isnan(pcd_world).any(axis=2)
+            center = np.median(pcd_world[mask], axis=0)
+            origin = center - pitch * 15.5
+            pitch_l.append(pitch)
+            origin_l.append(origin)
+            gt, gn, ge = fusion.get_grids(ins, pitch, origin)
+            g_t.append(gt)
+            g_ne.append(np.maximum(gn, ge))
+            Ts0.append(T_init[ins])
+        icc = IterativeCollisionCheck(
+            Ts0, pts_l, sdf_l, pitch_l, origin_l,
+            np.stack(g_t), np.stack(g_ne), max_points=2048,
+        )
+        refined, losses, n_iter = icc.refine(iterations=30)
+        T_icc = {ins: refined[k] for k, ins in enumerate(ids)}
+        errors["icc"] += add_of(T_icc)
+        errors["icc+icp"] += add_of(icp_refine(T_icc))
+        print(
+            f"scene {scene_i}: icc {int(n_iter)} iters, "
+            f"loss {float(losses[0]):.4f} -> {float(losses[-1]):.4f}"
+        )
+
+    print("\nmean ADD (m):")
+    for k, v in errors.items():
+        print(f"  {k:8s} {np.mean(v):.4f}  (n={len(v)})")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,15 +96,23 @@ class ICPRegistration:
         voxel_size = 0.01 if voxel_size is None else voxel_size
         cad = self._down(self._pcd_cad, voxel_size).astype(np.float32)
         depth = self._down(self._pcd_depth, voxel_size).astype(np.float32)
-        # refine T_cad2cam: cad -> depth
-        T = icp_point_to_point(
-            jnp.asarray(cad),
+        # Align source=depth onto target=cad (the reference's direction,
+        # ``icp_registration.py:33-46``): every *observed* point has a true
+        # correspondence on the model, whereas matching from the CAD side
+        # lets the unobserved back surface drag the fit. The initial guess
+        # is therefore inverse(T_cad2cam), and the result is re-inverted.
+        T_depth2cad = icp_point_to_point(
             jnp.asarray(depth),
-            jnp.asarray(self._transform, dtype=jnp.float32),
+            jnp.asarray(cad),
+            jnp.asarray(
+                np.linalg.inv(self._transform), dtype=jnp.float32
+            ),
             max_correspondence_distance=2 * voxel_size,
             iterations=int(iteration),
         )
-        self._transform = np.asarray(T, dtype=np.float64)
+        self._transform = np.linalg.inv(
+            np.asarray(T_depth2cad, dtype=np.float64)
+        )
         return self._transform
 
     def register_iterative(self, iteration=None, voxel_size=None):

@@ -282,7 +282,9 @@ def create_train_state(
     if with_occupancy:
         kwargs["origin"] = example_batch.get("origin")
         kwargs["grid_nontarget_empty"] = example_batch["grid_nontarget_empty"]
-    params = model.init(rng, **kwargs)
+    # jit: eager init dispatches thousands of tiny ops (minutes
+    # through a remote-TPU relay)
+    params = jax.jit(model.init)(rng, **kwargs)
     tx = optax.adam(learning_rate)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
