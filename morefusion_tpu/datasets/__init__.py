@@ -17,3 +17,4 @@ from . import ycb_video
 from .external_results import load_posecnn_mat
 from .external_results import load_results_json
 from .instance_segmentation import SyntheticInstanceSegmentationDataset
+from .background_composite import BackgroundComposite

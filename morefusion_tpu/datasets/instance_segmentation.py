@@ -55,9 +55,18 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
         format: str = "class_label",
         seed: int = 0,
         n_objects=(3, 6),
+        background_composite: bool = True,
+        background_dir=None,
     ):
         assert format in ("class_label", "masks")
         self._format = format
+        self._composite = None
+        if background_composite:
+            from .background_composite import BackgroundComposite
+
+            self._composite = BackgroundComposite(
+                image_dir=background_dir, seed=seed
+            )
         self._frames = SyntheticRGBDPoseEstimationDataset(
             split=split,
             n_frames=n_frames,
@@ -70,6 +79,13 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
 
     def get_example(self, index):
         frame = self._frames.get_frame(index)
+        if self._composite is not None:
+            frame = dict(
+                frame,
+                rgb=self._composite(
+                    frame["rgb"], frame["instance_label"]
+                ),
+            )
         if self._format == "masks":
             return frame_to_masks(frame)
         return dict(

@@ -14,6 +14,8 @@ import json
 import os
 import socket
 import tempfile
+
+import numpy as np
 from typing import Dict, Optional
 
 from ..utils.provenance import githash
@@ -90,6 +92,23 @@ class LogReport:
         with os.fdopen(fd, "w") as f:
             json.dump(self._log, f, indent=1)
         os.replace(tmp, os.path.join(self._out_dir, "log.json"))
+
+    def report_histograms(self, params, step: int, prefix: str = "params"):
+        """Parameter histograms to tensorboard (the reference's
+        ``ParameterTensorboardReport``); no-op without a writer."""
+        if self._writer is None:
+            return
+        import jax
+
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        for path, leaf in flat:
+            name = prefix + "/".join(str(p) for p in path)
+            try:
+                self._writer.add_histogram(
+                    name, np.asarray(leaf).ravel(), int(step)
+                )
+            except Exception:
+                pass
 
     def state_dict(self):
         return {"log": self._log}
