@@ -43,6 +43,8 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--tiny", action="store_true", help="CI-sized model")
     parser.add_argument("--n-point", type=int, default=1000)
+    parser.add_argument("--eval-interval", type=float, default=0.25,
+                        help="epochs between evaluations")
     args = parser.parse_args()
 
     from morefusion_tpu import datasets, models, training
@@ -108,6 +110,7 @@ def main():
         learning_rate=args.lr,
         loss=args.loss,
         with_occupancy=with_occupancy,
+        eval_interval=args.eval_interval,
         seed=args.seed,
         resume=args.resume,
         max_steps=args.max_steps,

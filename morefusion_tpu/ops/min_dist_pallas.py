@@ -136,34 +136,24 @@ def _prepare(ip, valid, p_sub):
 
 
 def _finalize(key, ip, valid, dims):
-    """Composite keys -> (exact d2 per voxel, winner index or -1)."""
-    X, Y, Z = dims
-    V = X * Y * Z
+    """Composite keys -> (d2 per voxel, winner index or -1) — gather-free.
+
+    The d2 value is decoded from the key's cleared-mantissa bits (biased
+    low by at most a relative 2^-9 — far below the pseudo-occupancy
+    resolution); voxels whose winner was an invalid point decode to ~1e30
+    (the |p|^2 mask bias), so validity falls out of the magnitude without
+    gathering the valid array. A (B, V)-row gather here would cost more
+    than the whole distance kernel on TPU.
+    """
+    del ip, valid
     arg = key & jnp.int32(_IDX_MASK)
-    P = ip.shape[-2]
-    arg = jnp.clip(arg, 0, P - 1)
-    ipf = jnp.nan_to_num(ip.astype(jnp.float32))
-
-    idx = jnp.arange(V, dtype=jnp.int32)
-    centers = jnp.stack(
-        [
-            (idx // (Y * Z)).astype(jnp.float32),
-            ((idx // Z) % Y).astype(jnp.float32),
-            (idx % Z).astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (V, 3)
-
-    if ip.ndim == 3:
-        winner_pts = jnp.take_along_axis(ipf, arg[..., None], axis=1)
-        winner_valid = jnp.take_along_axis(valid, arg, axis=1)
-        d2 = jnp.sum((winner_pts - centers[None]) ** 2, axis=-1)
-    else:
-        winner_pts = ipf[arg]
-        winner_valid = valid[arg]
-        d2 = jnp.sum((winner_pts - centers) ** 2, axis=-1)
-    d2 = jnp.where(winner_valid, d2, jnp.inf)
-    arg = jnp.where(winner_valid, arg, -1)
+    d2 = jax.lax.bitcast_convert_type(
+        key & ~jnp.int32(_IDX_MASK), jnp.float32
+    )
+    # all-invalid -> ~1e30 (the |p|^2 mask bias); untouched init -> NaN
+    bad = ~(d2 < 1e29)
+    d2 = jnp.where(bad, jnp.inf, d2)
+    arg = jnp.where(bad, -1, arg)
     return d2, arg
 
 
