@@ -18,15 +18,70 @@ import time
 import numpy as np
 
 
+def bench_icc(args):
+    """Secondary metric: ICC joint-refinement iterations/s (target 100)."""
+    import jax
+    import jax.numpy as jnp
+
+    from morefusion_tpu.contrib.collision_refine import refine_collision
+
+    N, M, V = 8, 2048, 32
+    rng = np.random.RandomState(0)
+    base = dict(
+        points=jnp.asarray(
+            rng.uniform(-0.05, 0.05, (N, M, 3)).astype(np.float32)
+        ),
+        sdf=jnp.asarray(rng.uniform(0, 0.02, (N, M)).astype(np.float32)),
+        point_mask=jnp.ones((N, M), bool),
+        pitch=jnp.full((N,), 0.01, jnp.float32),
+        origin=jnp.full((N, 3), -0.16, jnp.float32),
+        grid_target=jnp.asarray(rng.rand(N, V, V, V).astype(np.float32)),
+        grid_nontarget_empty=jnp.asarray(
+            rng.rand(N, V, V, V).astype(np.float32)
+        ),
+    )
+    q0 = jnp.asarray(np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1)))
+    ts = [
+        jnp.asarray(rng.uniform(-0.05, 0.05, (N, 3)).astype(np.float32))
+        for _ in range(args.iters + 1)
+    ]
+    out = refine_collision(q0, ts[0], **base, iterations=30)
+    _ = jax.device_get(out[1])
+    t0 = time.perf_counter()
+    for k in range(args.iters):
+        out = refine_collision(q0, ts[k + 1], **base, iterations=30)
+        _ = jax.device_get(out[1])
+    dt = (time.perf_counter() - t0) / args.iters
+    iters_per_s = 30.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "icc_refinement_iters_per_s",
+                "value": round(iters_per_s, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_s / 100.0, 3),
+            }
+        )
+    )
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--metric", default="fps", choices=["fps", "icc"],
+        help="headline metric (fps) or refinement throughput (icc)",
+    )
     args = parser.parse_args()
     if args.quick:
         args.iters, args.warmup = 3, 1
+    if args.metric == "icc":
+        args.iters = min(args.iters, 15)
+        return bench_icc(args)
 
     import jax
 

@@ -185,15 +185,21 @@ def _min_dist_bwd(dims, chunk, res, cts):
         P = points_i.shape[0]
         centers = _voxel_centers((X, Y, Z), dtype)  # (V, 3) index units
         centers_world = origin_i + centers * pitch_i
-        hit = arg_i >= 0
+        hit = (arg_i >= 0) & jnp.isfinite(dist_i)
         w = jnp.where(hit, arg_i, P)  # dump segment for empty voxels
-        p_w = points_i[jnp.where(hit, arg_i, 0)]  # (V, 3)
-        # d dist / d p_w = (p_w - voxel_center_world) / dist
-        direction = (p_w - centers_world) / jnp.maximum(dist_i, 1e-12)[
-            :, None
-        ]
-        contrib = jnp.where(hit[:, None], g_i[:, None] * direction, 0.0)
-        return jax.ops.segment_sum(contrib, w, num_segments=P + 1)[:-1]
+        # d dist / d p_w = (p_w - c_v) / dist. Split algebraically so the
+        # backward is scatter-only:
+        #   dL/dp_w = p_w * sum_v(g/d) - sum_v(g * c_v / d)
+        # — a (B, V)-row gather of points here would cost more than the
+        # whole forward kernel on TPU.
+        a = jnp.where(hit, g_i / jnp.maximum(dist_i, 1e-12), 0.0)  # (V,)
+        A = jax.ops.segment_sum(a, w, num_segments=P + 1)[:-1]  # (P,)
+        B = jax.ops.segment_sum(
+            a[:, None] * centers_world, w, num_segments=P + 1
+        )[:-1]  # (P, 3)
+        # nan_to_num: NaN input points must yield zero grads (their A/B are
+        # zero, but NaN * 0 = NaN)
+        return jnp.nan_to_num(points_i) * A[:, None] - B
 
     pitch_t = jnp.asarray(pitch, dtype)
     origin_t = jnp.asarray(origin, dtype)
