@@ -23,6 +23,7 @@ class PoseHeads(nn.Module):
 
     n_fg_class: int
     widths: tuple = (640, 256, 128)
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, feat):
@@ -30,7 +31,11 @@ class PoseHeads(nn.Module):
 
         def tower(h, out_dim, name):
             for i, width in enumerate(self.widths):
-                h = nn.relu(nn.Dense(width, name=f"{name}_fc{i + 1}")(h))
+                h = nn.relu(
+                    nn.Dense(
+                        width, name=f"{name}_fc{i + 1}", dtype=self.dtype
+                    )(h)
+                )
             return nn.Dense(out_dim, name=f"{name}_out")(h)
 
         cls_rot = tower(feat, self.n_fg_class * 4, "rot")

@@ -43,6 +43,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilate: int = 1
     residual_conv: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -53,6 +54,7 @@ class BasicBlock(nn.Module):
             padding=[(self.dilate, self.dilate)] * 2,
             kernel_dilation=(self.dilate, self.dilate),
             use_bias=False,
+            dtype=self.dtype,
         )(x)
         h = nn.relu(h)
         h = nn.Conv(
@@ -61,6 +63,7 @@ class BasicBlock(nn.Module):
             padding=[(self.dilate, self.dilate)] * 2,
             kernel_dilation=(self.dilate, self.dilate),
             use_bias=False,
+            dtype=self.dtype,
         )(h)
         if self.residual_conv:
             residual = nn.Conv(
@@ -68,6 +71,7 @@ class BasicBlock(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
             )(x)
         else:
             residual = x
@@ -80,6 +84,7 @@ class ResBlock(nn.Module):
     stride: int
     dilate: int
     residual_conv: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -88,9 +93,12 @@ class ResBlock(nn.Module):
             stride=self.stride,
             dilate=1,
             residual_conv=self.residual_conv,
+            dtype=self.dtype,
         )(x)
         for _ in range(self.n_layer - 1):
-            h = BasicBlock(self.out_channels, dilate=self.dilate)(h)
+            h = BasicBlock(
+                self.out_channels, dilate=self.dilate, dtype=self.dtype
+            )(h)
         return h
 
 
@@ -101,20 +109,25 @@ class DilatedResNet(nn.Module):
 
     blocks: Sequence[int]
     base_width: int = 64
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, rgb):
         w = self.base_width
-        h = normalize_rgb(rgb)
+        dt = self.dtype
+        h = normalize_rgb(rgb).astype(dt)
         # 1/1 -> 1/2
-        h = nn.Conv(w, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False)(h)
+        h = nn.Conv(
+            w, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+            use_bias=False, dtype=dt,
+        )(h)
         # 1/2 -> 1/4 (floor-mode 3x3/2 max pool, pad 1)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
-        h = ResBlock(self.blocks[0], w, 1, 1, residual_conv=False)(h)
+        h = ResBlock(self.blocks[0], w, 1, 1, residual_conv=False, dtype=dt)(h)
         # 1/4 -> 1/8
-        h = ResBlock(self.blocks[1], w * 2, 2, 1)(h)
-        h = ResBlock(self.blocks[2], w * 4, 1, 2)(h)
-        h = ResBlock(self.blocks[3], w * 8, 1, 4)(h)
+        h = ResBlock(self.blocks[1], w * 2, 2, 1, dtype=dt)(h)
+        h = ResBlock(self.blocks[2], w * 4, 1, 2, dtype=dt)(h)
+        h = ResBlock(self.blocks[3], w * 8, 1, 4, dtype=dt)(h)
         return h
 
 

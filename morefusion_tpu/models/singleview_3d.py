@@ -50,40 +50,49 @@ class SingleView3D(nn.Module):
     conv3_channels: int = 256
     conv4_channels: int = 512
     tower_widths: tuple = (640, 256, 128)
+    # computation dtype for the conv/dense stacks; params stay f32 and the
+    # pose outputs (quaternion normalize, translation add) stay f32.
+    # bf16 roughly doubles v5e inference throughput.
+    compute_dtype: object = jnp.float32
 
     def setup(self):
+        dt = self.compute_dtype
         if self.pretrained_resnet18:
             self.resnet_extractor = ResNet18Extractor()
         else:
             self.resnet_extractor = DilatedResNet18(
-                base_width=self.backbone_width
+                base_width=self.backbone_width, dtype=dt
             )
         self.pspnet_extractor = PSPNetExtractor(
-            bottleneck_channels=self.psp_bottleneck, up_channels=self.psp_up
+            bottleneck_channels=self.psp_bottleneck, up_channels=self.psp_up,
+            dtype=dt,
         )
 
-        self.conv1_rgb = nn.Dense(64)
-        self.conv1_pcd = nn.Dense(8)
-        self.conv2_rgb = nn.Dense(128)
-        self.conv2_pcd = nn.Dense(16)
+        self.conv1_rgb = nn.Dense(64, dtype=dt)
+        self.conv1_pcd = nn.Dense(8, dtype=dt)
+        self.conv2_rgb = nn.Dense(128, dtype=dt)
+        self.conv2_pcd = nn.Dense(16, dtype=dt)
 
         if self.with_occupancy:
-            self.conv1_occ = nn.Conv(8, (3, 3, 3), padding=[(1, 1)] * 3)
+            self.conv1_occ = nn.Conv(
+                8, (3, 3, 3), padding=[(1, 1)] * 3, dtype=dt
+            )
             self.conv2_occ = nn.Conv(
-                16, (3, 3, 3), padding=[(2, 2)] * 3, kernel_dilation=(2, 2, 2)
+                16, (3, 3, 3), padding=[(2, 2)] * 3,
+                kernel_dilation=(2, 2, 2), dtype=dt,
             )
 
         self.conv3 = nn.Conv(
             self.conv3_channels, (4, 4, 4), strides=(2, 2, 2),
-            padding=[(1, 1)] * 3,
+            padding=[(1, 1)] * 3, dtype=dt,
         )
         self.conv4 = nn.Conv(
             self.conv4_channels, (4, 4, 4), strides=(2, 2, 2),
-            padding=[(1, 1)] * 3,
+            padding=[(1, 1)] * 3, dtype=dt,
         )
 
         self.heads = PoseHeads(
-            n_fg_class=self.n_fg_class, widths=self.tower_widths
+            n_fg_class=self.n_fg_class, widths=self.tower_widths, dtype=dt
         )
 
     def _extract(self, values, points, grid_nontarget_empty, train):
@@ -102,6 +111,8 @@ class SingleView3D(nn.Module):
 
         to_center = (V / 2.0 - 0.5) - points
 
+        values = values.astype(self.compute_dtype)
+        to_center = to_center.astype(self.compute_dtype)
         h_rgb = nn.relu(self.conv1_rgb(values))
         h_pcd = nn.relu(self.conv1_pcd(to_center))
         feat1 = jnp.concatenate([h_rgb, h_pcd], axis=-1)  # (B, P, 72)
