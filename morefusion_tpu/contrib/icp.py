@@ -91,11 +91,34 @@ class ICPRegistration:
         )
         self._down = voxel_down_sample
 
+    @staticmethod
+    def _pad_bucket(points: np.ndarray, sign: float) -> np.ndarray:
+        """Pad to the next power-of-two bucket with far-away sentinels.
+
+        Variable point counts would trigger one XLA compile per example
+        (fatal with a remote compiler); sentinel points sit ~1e6 m out, so
+        they are never the nearest neighbor of a real point and never pass
+        the correspondence gate. Source and target use opposite signs so
+        sentinel-to-sentinel pairs are also ~2e6 m apart.
+        """
+        n = len(points)
+        bucket = max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        if n == bucket:
+            return points
+        pad = np.full((bucket - n, 3), sign * 1e6, dtype=points.dtype)
+        # spread sentinels so they are also far from each other
+        pad += np.arange(bucket - n, dtype=points.dtype)[:, None] * 1e3
+        return np.concatenate([points, pad])
+
     def register(self, iteration=None, voxel_size=None) -> np.ndarray:
         iteration = 100 if iteration is None else iteration
         voxel_size = 0.01 if voxel_size is None else voxel_size
-        cad = self._down(self._pcd_cad, voxel_size).astype(np.float32)
-        depth = self._down(self._pcd_depth, voxel_size).astype(np.float32)
+        cad = self._pad_bucket(
+            self._down(self._pcd_cad, voxel_size).astype(np.float32), 1.0
+        )
+        depth = self._pad_bucket(
+            self._down(self._pcd_depth, voxel_size).astype(np.float32), -1.0
+        )
         # Align source=depth onto target=cad (the reference's direction,
         # ``icp_registration.py:33-46``): every *observed* point has a true
         # correspondence on the model, whereas matching from the CAD side
