@@ -48,19 +48,22 @@ def _voxel_centers(dims, dtype):
     return jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)  # (V, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _min_dist(points, valid, pitch, origin, dims, chunk):
-    """Per-voxel (distance to nearest valid point, winner index).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _min_dist(points, valid, payload_q, pitch, origin, dims, chunk):
+    """Per-voxel (distance to nearest valid point, winner index, payload).
 
     The forward streams VMEM-sized (V, chunk) distance blocks (cross term
     on the MXU) and keeps a running min/argmin; the custom VJP avoids
-    saving any block — the backward is a pure gather along the winner
-    indices plus one small scatter-add back to the points. This is what
-    keeps the ICC refiner's HBM traffic at O(V + P) per step instead of
-    O(V x P).
+    saving any block — the backward is two segment-sums back to the points
+    (no gathers). ``payload_q`` (quantized per-point ints, e.g. SDF) rides
+    along in a second composite key so callers never gather
+    payload-by-winner. This keeps the ICC refiner's HBM traffic at
+    O(V + P) per step instead of O(V x P).
     """
-    dist, arg = _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk)
-    return dist, arg
+    dist, arg, payload = _min_dist_fwd_impl(
+        points, valid, payload_q, pitch, origin, dims, chunk
+    )
+    return dist, arg, payload
 
 
 def _pick_tile(V: int):
@@ -116,7 +119,7 @@ def _scan_core(ip, valid, dims, chunk):
     return d2_min, arg_min
 
 
-def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
+def _min_dist_fwd_impl(points, valid, payload_q, pitch, origin, dims, chunk):
     """Rank-generic: points (..., P, 3); pitch (...,); origin (..., 3)."""
     dtype = points.dtype
     X, Y, Z = dims
@@ -135,49 +138,51 @@ def _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk):
     valid = valid & ~nan_bad
     ip = jnp.nan_to_num(ip)
 
+    if payload_q is None:
+        payload_q = jnp.zeros(points.shape[:-1], jnp.int32)
+
     # TPU fast path: Pallas streaming kernel (MXU cross term, running
     # min/argmin in VMEM — O(V + P) HBM traffic).
     if jax.default_backend() != "cpu" and dtype == jnp.float32:
         tile_v = _pick_tile(V)
         if tile_v is not None:
             from ..ops.min_dist_pallas import (
-                min_dist_voxels_pallas,
-                min_dist_voxels_pallas_batched,
+                min_dist_voxels_pallas_payload,
             )
 
-            if batched:
-                d2_min, arg_min = min_dist_voxels_pallas_batched(
-                    ip, valid, (X, Y, Z), tile_v=tile_v
-                )
-                dist = pitch_t[:, None] * jnp.sqrt(
-                    jnp.maximum(d2_min, 1e-12)
-                )
-            else:
-                d2_min, arg_min = min_dist_voxels_pallas(
-                    ip, valid, (X, Y, Z), tile_v=tile_v
-                )
-                dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
-            return dist, arg_min
+            d2_min, arg_min, payload = min_dist_voxels_pallas_payload(
+                ip, valid, payload_q, (X, Y, Z), tile_v=tile_v
+            )
+            scale = pitch_t[:, None] if batched else pitch_t
+            dist = scale * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
+            return dist, arg_min, payload
 
     if batched:
         d2_min, arg_min = jax.vmap(
             lambda a, b: _scan_core(a, b, dims, chunk)
         )(ip, valid)
         dist = pitch_t[:, None] * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
+        payload = jnp.take_along_axis(
+            payload_q, jnp.clip(arg_min, 0, None), axis=1
+        )
     else:
         d2_min, arg_min = _scan_core(ip, valid, dims, chunk)
         dist = pitch_t * jnp.sqrt(jnp.maximum(d2_min, 1e-12))
-    return dist, arg_min
+        payload = payload_q[jnp.clip(arg_min, 0, None)]
+    payload = jnp.where(arg_min >= 0, payload, 0)
+    return dist, arg_min, payload
 
 
-def _min_dist_fwd(points, valid, pitch, origin, dims, chunk):
-    dist, arg = _min_dist_fwd_impl(points, valid, pitch, origin, dims, chunk)
-    return (dist, arg), (points, pitch, origin, dist, arg)
+def _min_dist_fwd(points, valid, payload_q, pitch, origin, dims, chunk):
+    dist, arg, payload = _min_dist_fwd_impl(
+        points, valid, payload_q, pitch, origin, dims, chunk
+    )
+    return (dist, arg, payload), (points, pitch, origin, dist, arg)
 
 
 def _min_dist_bwd(dims, chunk, res, cts):
     points, pitch, origin, dist, arg = res
-    g_dist, _ = cts  # integer-output cotangent is symbolic zero
+    g_dist, _, _ = cts  # integer-output cotangents are symbolic zeros
     dtype = points.dtype
     X, Y, Z = dims
 
@@ -212,6 +217,7 @@ def _min_dist_bwd(dims, chunk, res, cts):
     return (
         g_points,
         None,
+        None,
         jnp.zeros_like(pitch_t),
         jnp.zeros_like(origin_t),
     )
@@ -231,6 +237,8 @@ def truncated_distance_function(
     point_mask: Optional[jnp.ndarray] = None,
     chunk: int = 128,
     ksize: int = None,  # accepted for API compat; unused (exact field)
+    payload_q: Optional[jnp.ndarray] = None,
+    return_payload: bool = False,
 ):
     """Per-voxel truncated distance to the nearest point (dense streaming).
 
@@ -263,9 +271,10 @@ def truncated_distance_function(
         jnp.ones(pshape, bool) if point_mask is None else jnp.asarray(point_mask)
     )
 
-    dist, arg_min = _min_dist(
+    dist, arg_min, payload = _min_dist(
         points,
         valid,
+        payload_q,
         jnp.asarray(pitch, dtype),
         jnp.asarray(origin, dtype),
         (X, Y, Z),
@@ -274,11 +283,17 @@ def truncated_distance_function(
     out_shape = (X, Y, Z) if not batched else (-1, X, Y, Z)
     tdf = jnp.minimum(dist, trunc_b).reshape(out_shape)
 
-    if not return_indices:
+    if not (return_indices or return_payload):
         return tdf
     hit = (jax.lax.stop_gradient(dist) < trunc_b) & (arg_min >= 0)
-    indices = jnp.where(hit, arg_min, -1).reshape(out_shape)
-    return tdf, jax.lax.stop_gradient(indices)
+    out = (tdf,)
+    if return_indices:
+        indices = jnp.where(hit, arg_min, -1).reshape(out_shape)
+        out += (jax.lax.stop_gradient(indices),)
+    if return_payload:
+        pay = jnp.where(hit, payload, -1).reshape(out_shape)
+        out += (jax.lax.stop_gradient(pay),)
+    return out if len(out) > 1 else out[0]
 
 
 def _tdf_kernel_offsets(ksize: int) -> jnp.ndarray:
@@ -386,30 +401,37 @@ def pseudo_occupancy_voxelization(
     points = jnp.asarray(points)
     batched = points.ndim == 3
     truncation = jnp.asarray(threshold) * jnp.asarray(pitch)
-    tdf, indices = truncated_distance_function(
+
+    # Quantize the SDF to the composite-key payload width so the winning
+    # point's weight comes out of the kernel directly — no (B, V)-row
+    # gather (which costs more than the distance kernel itself on TPU).
+    sdf = jnp.asarray(sdf, jnp.float32)
+    sdf_max = jnp.max(sdf, axis=-1, keepdims=True)
+    sdf_scale = jnp.maximum(sdf_max, jnp.finfo(jnp.float32).tiny)
+    sdf_q = jnp.clip(
+        jnp.round(sdf / sdf_scale * 16383.0), 0, 16383
+    ).astype(jnp.int32)
+
+    tdf, payload = truncated_distance_function(
         points,
         pitch=pitch,
         origin=origin,
         dims=dims,
         truncation=truncation,
-        return_indices=True,
+        return_payload=True,
         point_mask=point_mask,
+        payload_q=sdf_q,
     )
     trunc_b = (
         truncation[:, None, None, None] if batched else truncation
     )
     grid = 1.0 - tdf / trunc_b  # [0, 1], differentiable w.r.t. points
 
-    sdf = jnp.asarray(sdf, dtype=grid.dtype)
-    hit = indices >= 0
-    idx_safe = jnp.where(hit, indices, 0)
-    if batched:
-        B = points.shape[0]
-        picked = jnp.take_along_axis(
-            sdf, idx_safe.reshape(B, -1), axis=1
-        ).reshape(idx_safe.shape)
-    else:
-        picked = sdf[idx_safe]
+    hit = payload >= 0
+    scale_b = (
+        sdf_scale[:, 0][:, None, None, None] if batched else sdf_scale[0]
+    )
+    picked = payload.astype(grid.dtype) / 16383.0 * scale_b
     weight_inside = jnp.where(hit, picked, -1.0) + sdf_offset
     neg = weight_inside < 0
     weight_inside = jnp.where(neg, 0.0, weight_inside)

@@ -53,8 +53,11 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     pts_ref,  # (1, P_SUB, 8) sublane-major K-padded points
     p2_ref,  # (1, P_SUB, 1) masked |p|^2
+    sdfq_ref,  # (1, P_SUB, 1) int32 quantized per-point payload
     out_ref,  # (TILE_V,) composite keys (written on the last visit)
+    out_sdf_ref,  # (TILE_V,) payload composite keys
     acc_ref,  # VMEM scratch (TILE_V,) int32 — running min across visits
+    acc_sdf_ref,  # VMEM scratch (TILE_V,) int32
     *,
     dims,
     tile_v,
@@ -79,9 +82,11 @@ def _kernel(
     )  # (8, TILE_V)
     c2 = ci * ci + cj * cj + ck * ck  # (TILE_V,)
 
-    def body(c, key_min):
+    def body(c, carry):
+        key_min, key_sdf_min = carry
         p_t = pts_ref[0, pl.ds(c * chunk, chunk), :]  # (CHUNK, 8)
         pp = p2_ref[0, pl.ds(c * chunk, chunk), 0]  # (CHUNK,)
+        sq = sdfq_ref[0, pl.ds(c * chunk, chunk), 0]  # (CHUNK,) int32
         cross = jnp.dot(
             p_t,
             coords_t,
@@ -94,29 +99,43 @@ def _kernel(
             + c * chunk
             + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         )
-        bits = pltpu.bitcast(jnp.maximum(d2, 0.0), jnp.int32)
-        comp = (bits & ~jnp.int32(_IDX_MASK)) | idx
-        return jnp.minimum(key_min, jnp.min(comp, axis=0))
+        bits = pltpu.bitcast(jnp.maximum(d2, 0.0), jnp.int32) & ~jnp.int32(
+            _IDX_MASK
+        )
+        comp = bits | idx
+        # second composite carries the winner's quantized payload (sdf) so
+        # the caller never gathers payload-by-winner-index (a (B, V)-row
+        # gather costs more than this whole kernel on TPU)
+        comp_sdf = bits | sq[:, None]
+        return (
+            jnp.minimum(key_min, jnp.min(comp, axis=0)),
+            jnp.minimum(key_sdf_min, jnp.min(comp_sdf, axis=0)),
+        )
 
-    local = jax.lax.fori_loop(
-        0, p_sub // chunk, body, jnp.full((tile_v,), _MAXINT, jnp.int32)
+    init = (
+        jnp.full((tile_v,), _MAXINT, jnp.int32),
+        jnp.full((tile_v,), _MAXINT, jnp.int32),
     )
+    local, local_sdf = jax.lax.fori_loop(0, p_sub // chunk, body, init)
 
     @pl.when(s == 0)
     def _():
         acc_ref[:] = local
+        acc_sdf_ref[:] = local_sdf
 
     @pl.when(s > 0)
     def _():
         acc_ref[:] = jnp.minimum(acc_ref[:], local)
+        acc_sdf_ref[:] = jnp.minimum(acc_sdf_ref[:], local_sdf)
 
     @pl.when(s == n_super - 1)
     def _():
         out_ref[:] = acc_ref[:]
+        out_sdf_ref[:] = acc_sdf_ref[:]
 
 
-def _prepare(ip, valid, p_sub):
-    """(B?, P, 3) -> (B?, Pp, 8) sublane-major points + (B?, Pp, 1) |p|^2."""
+def _prepare(ip, valid, payload_q, p_sub):
+    """(B?, P, 3) -> sublane-major points, masked |p|^2, padded payload."""
     P = ip.shape[-2]
     if P > MAX_POINTS:
         raise ValueError(f"P={P} exceeds composite-key capacity {MAX_POINTS}")
@@ -132,10 +151,13 @@ def _prepare(ip, valid, p_sub):
     pts = pts.at[..., :P, :3].set(ipf)
     p2_p = jnp.full(lead + (Pp, 1), big, jnp.float32)
     p2_p = p2_p.at[..., :P, 0].set(p2)
-    return pts, p2_p, Pp
+    pq = jnp.zeros(lead + (Pp, 1), jnp.int32)
+    if payload_q is not None:
+        pq = pq.at[..., :P, 0].set(payload_q.astype(jnp.int32))
+    return pts, p2_p, pq, Pp
 
 
-def _finalize(key, ip, valid, dims):
+def _finalize(key, key_sdf, ip, valid, dims):
     """Composite keys -> (d2 per voxel, winner index or -1) — gather-free.
 
     The d2 value is decoded from the key's cleared-mantissa bits (biased
@@ -154,10 +176,11 @@ def _finalize(key, ip, valid, dims):
     bad = ~(d2 < 1e29)
     d2 = jnp.where(bad, jnp.inf, d2)
     arg = jnp.where(bad, -1, arg)
-    return d2, arg
+    payload = jnp.where(bad, 0, key_sdf & jnp.int32(_IDX_MASK))
+    return d2, arg, payload
 
 
-def _run(ip, valid, dims, tile_v, chunk):
+def _run(ip, valid, dims, tile_v, chunk, payload_q=None):
     X, Y, Z = dims
     V = X * Y * Z
     assert V % tile_v == 0, (V, tile_v)
@@ -165,16 +188,29 @@ def _run(ip, valid, dims, tile_v, chunk):
     B = ip.shape[0] if batched else 1
     ip_b = ip if batched else ip[None]
     valid_b = valid if batched else valid[None]
+    pq_b = (
+        None
+        if payload_q is None
+        else (payload_q if batched else payload_q[None])
+    )
 
-    pts, p2_p, Pp = _prepare(ip_b, valid_b, _P_SUB)
+    pts, p2_p, pq, Pp = _prepare(ip_b, valid_b, pq_b, _P_SUB)
     n_tiles = V // tile_v
     n_super = Pp // _P_SUB
 
-    key = pl.pallas_call(
+    out_block = pl.BlockSpec(
+        (tile_v,),
+        lambda b, i, s: (b * n_tiles + i,),
+        memory_space=pltpu.VMEM,
+    )
+    key, key_sdf = pl.pallas_call(
         functools.partial(
             _kernel, dims=dims, tile_v=tile_v, chunk=chunk, p_sub=_P_SUB
         ),
-        out_shape=jax.ShapeDtypeStruct((B * V,), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * V,), jnp.int32),
+            jax.ShapeDtypeStruct((B * V,), jnp.int32),
+        ),
         grid=(B, n_tiles, n_super),
         in_specs=[
             pl.BlockSpec(
@@ -187,20 +223,25 @@ def _run(ip, valid, dims, tile_v, chunk):
                 lambda b, i, s: (b, s, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, _P_SUB, 1),
+                lambda b, i, s: (b, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_v,),
-            lambda b, i, s: (b * n_tiles + i,),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((tile_v,), jnp.int32)],
-    )(pts, p2_p)
+        out_specs=(out_block, out_block),
+        scratch_shapes=[
+            pltpu.VMEM((tile_v,), jnp.int32),
+            pltpu.VMEM((tile_v,), jnp.int32),
+        ],
+    )(pts, p2_p, pq)
 
     key = key.reshape(B, V)
-    d2, arg = _finalize(key, ip_b, valid_b, dims)
+    key_sdf = key_sdf.reshape(B, V)
+    d2, arg, payload = _finalize(key, key_sdf, ip_b, valid_b, dims)
     if not batched:
-        return d2[0], arg[0]
-    return d2, arg
+        return d2[0], arg[0], payload[0]
+    return d2, arg, payload
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
@@ -212,7 +253,8 @@ def min_dist_voxels_pallas(
     chunk: int = 256,
 ):
     """Returns (d2_min (V,), argmin (V,)) in voxel-coordinate units^2."""
-    return _run(ip, valid, dims, tile_v, chunk)
+    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk)
+    return d2, arg
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
@@ -228,4 +270,23 @@ def min_dist_voxels_pallas_batched(
 
     Returns (d2_min (B, V), argmin (B, V)).
     """
-    return _run(ip, valid, dims, tile_v, chunk)
+    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk)
+    return d2, arg
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
+def min_dist_voxels_pallas_payload(
+    ip: jnp.ndarray,  # (B?, P, 3)
+    valid: jnp.ndarray,  # (B?, P)
+    payload_q: jnp.ndarray,  # (B?, P) int in [0, 2^14)
+    dims,
+    tile_v: int = 2048,
+    chunk: int = 256,
+):
+    """Like the plain variants, but also min-selects a quantized per-point
+    payload (e.g. SDF) alongside the winner — gather-free weight lookup
+    for the pseudo-occupancy grids.
+
+    Returns (d2_min, argmin, payload_of_winner) each (B?, V).
+    """
+    return _run(ip, valid, dims, tile_v, chunk, payload_q=payload_q)
