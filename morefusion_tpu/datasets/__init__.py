@@ -18,3 +18,5 @@ from .external_results import load_posecnn_mat
 from .external_results import load_results_json
 from .instance_segmentation import SyntheticInstanceSegmentationDataset
 from .background_composite import BackgroundComposite
+from .rgbd_pose_estimation.frame_directory import FrameDirectoryDataset
+from .rgbd_pose_estimation.frame_directory import save_frame

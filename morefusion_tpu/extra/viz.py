@@ -138,6 +138,30 @@ def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
 
 
+def depth_to_rgb(
+    depth: np.ndarray,
+    min_value: Optional[float] = None,
+    max_value: Optional[float] = None,
+) -> np.ndarray:
+    """Depth image -> turbo-ish colormap RGB (reference ``depth_to_rgb``
+    node role); NaN renders black."""
+    import cv2
+
+    valid = np.isfinite(depth)
+    if not valid.any():
+        return np.zeros(depth.shape + (3,), np.uint8)
+    lo = np.nanmin(depth) if min_value is None else min_value
+    hi = np.nanmax(depth) if max_value is None else max_value
+    norm = np.clip(
+        np.nan_to_num(depth - lo) / max(hi - lo, 1e-9), 0, 1
+    )
+    u8 = (norm * 255).astype(np.uint8)
+    bgr = cv2.applyColorMap(u8, cv2.COLORMAP_JET)
+    rgb = bgr[:, :, ::-1].copy()
+    rgb[~valid] = 0
+    return rgb
+
+
 def save_image(path: str, image: np.ndarray) -> None:
     import imageio.v2 as imageio
 
