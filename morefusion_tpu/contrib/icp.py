@@ -28,15 +28,47 @@ from ..functions.transforms import transformation_matrix, transform_points
 
 
 def _masked_kabsch(src, dst, weights):
-    """Rigid (R, t) minimizing sum w_i ||R src_i + t - dst_i||^2."""
+    """Rigid (R, t) minimizing sum w_i ||R src_i + t - dst_i||^2.
+
+    Uses Horn's quaternion method (dominant eigenvector of the 4x4
+    correlation form, found by shifted power iteration) instead of a 3x3
+    SVD: ``jnp.linalg.svd`` inside the per-iteration ``lax.scan`` compiles
+    an iterative eigensolver whose XLA build takes minutes per shape via a
+    remote compiler; the power iteration is a handful of 4x4 matmuls,
+    branch-free, and handles reflection cases correctly (it always
+    returns a proper rotation).
+    """
     w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
     mu_s = jnp.sum(src * w[:, None], axis=0)
     mu_d = jnp.sum(dst * w[:, None], axis=0)
     S = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)  # (3, 3)
-    U, _, Vt = jnp.linalg.svd(S)
-    det = jnp.linalg.det(Vt.T @ U.T)
-    D = jnp.eye(3, dtype=S.dtype).at[2, 2].set(det)
-    R = Vt.T @ D @ U.T
+
+    sxx, sxy, sxz = S[0, 0], S[0, 1], S[0, 2]
+    syx, syy, syz = S[1, 0], S[1, 1], S[1, 2]
+    szx, szy, szz = S[2, 0], S[2, 1], S[2, 2]
+    N = jnp.array(
+        [
+            [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+            [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+            [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+            [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+        ],
+        dtype=S.dtype,
+    )
+    # shift so the largest-eigenvalue direction dominates power iteration
+    shift = 2.0 * jnp.sqrt(jnp.sum(S * S)) + 1e-12
+    M = N + shift * jnp.eye(4, dtype=S.dtype)
+
+    def power_step(q, _):
+        q = M @ q
+        return q / jnp.maximum(jnp.linalg.norm(q), 1e-20), None
+
+    q0 = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=S.dtype)
+    q, _ = jax.lax.scan(power_step, q0, None, length=30)
+
+    from ..functions.transforms import quaternion_matrix
+
+    R = quaternion_matrix(q)[:3, :3]
     t = mu_d - R @ mu_s
     return R, t
 
