@@ -85,3 +85,38 @@ def test_draw_pose_overlay(rng):
         rgb, models, [2], [T], K, n_points_per_object=4000
     )
     assert out.sum() > 0  # object rendered into the frame
+
+
+def test_depth_to_rgb(rng):
+    depth = rng.uniform(0.4, 1.2, (30, 40)).astype(np.float32)
+    depth[0, 0] = np.nan
+    img = viz.depth_to_rgb(depth)
+    assert img.shape == (30, 40, 3) and img.dtype == np.uint8
+    assert (img[0, 0] == 0).all()  # NaN -> black
+    assert img[1:].max() > 0
+
+
+def test_frame_directory_roundtrip(tmp_path):
+    import numpy as np
+
+    from morefusion_tpu.datasets import (
+        FrameDirectoryDataset,
+        ProceduralModels,
+        save_frame,
+    )
+    from morefusion_tpu.simulation import PlaneTypeSceneGeneration
+
+    models = ProceduralModels()
+    gen = PlaneTypeSceneGeneration(
+        models, n_object=2, random_state=np.random.RandomState(2)
+    )
+    gen.generate()
+    T = gen.random_camera_trajectory(4, 2)[0]
+    frame = gen.render_frame(T, shape=(120, 160), n_points_per_object=4000)
+    save_frame(str(tmp_path / "000.npz"), frame)
+
+    ds = FrameDirectoryDataset(str(tmp_path), models)
+    assert len(ds) == 1
+    examples = ds.get_example(0)
+    assert len(examples) >= 1
+    assert examples[0]["rgb"].shape == (256, 256, 3)
