@@ -31,7 +31,13 @@ def scrubbed_env():
     return env
 
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(_MARK) != "1":
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get(_MARK) != "1"
+    # TPU-hardware test runs (tests/ops_tests -m tpu) must keep the relay
+    # env — the whole point is to exercise the real TPU kernels.
+    and os.environ.get("MFTPU_TPU_TESTS") != "1"
+):
     os.execve(
         sys.executable,
         [sys.executable, "-m", "pytest"] + sys.argv[1:],

@@ -20,6 +20,7 @@ import sys
 if (
     os.environ.get("PALLAS_AXON_POOL_IPS")
     and os.environ.get("MFTPU_TESTS_REEXEC") != "1"
+    and os.environ.get("MFTPU_TPU_TESTS") != "1"
 ):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _mftpu_test_env import scrubbed_env

@@ -81,7 +81,15 @@ def main():
 
     n = len(ds) if args.n_examples is None else min(args.n_examples, len(ds))
     records = {m: [] for m in args.methods}
+    import time as _time
+
+    _t0 = _time.time()
     for index in range(n):
+        if index and index % 25 == 0:
+            rate = index / (_time.time() - _t0)
+            print(
+                f"  {index}/{n} ({rate:.2f} ex/s)", flush=True
+            )
         ex = transform(ds[index])
         batch = {
             k: np.asarray(v)[None]

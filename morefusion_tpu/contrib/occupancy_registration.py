@@ -63,7 +63,8 @@ def occupancy_registration_loss(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "iterations", "alpha")
+    jax.jit,
+    static_argnames=("threshold", "iterations", "alpha", "trajectory"),
 )
 def register_occupancy(
     points_source,
@@ -76,8 +77,15 @@ def register_occupancy(
     threshold=2.0,
     iterations: int = 100,
     alpha: float = 0.1,
+    trajectory: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Adam loop; returns (quaternion, translation, losses)."""
+    """Adam loop; returns (quaternion, translation, losses).
+
+    With ``trajectory=True`` the quaternion/translation outputs carry the
+    full per-iteration history ``(iterations, 4)`` / ``(iterations, 3)``
+    of one continuous optimization (one compile, one device program) —
+    this backs ``register_iterative``'s step-by-step yielding.
+    """
     params = {
         "quaternion": jnp.asarray(quaternion_init, jnp.float32),
         "translation": jnp.asarray(translation_init, jnp.float32),
@@ -108,12 +116,16 @@ def register_occupancy(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        out = (params, loss) if trajectory else loss
+        return (params, opt_state), out
 
-    (params, _), losses = jax.lax.scan(
+    (params, _), outs = jax.lax.scan(
         step, (params, opt_state), None, length=iterations
     )
-    return params["quaternion"], params["translation"], losses
+    if trajectory:
+        traj, losses = outs
+        return traj["quaternion"], traj["translation"], losses
+    return params["quaternion"], params["translation"], outs
 
 
 class OccupancyRegistration:
@@ -165,8 +177,25 @@ class OccupancyRegistration:
         return self._transform
 
     def register_iterative(self, iteration=None):
+        """Yield the transform after each iteration of ONE continuous
+        optimization (reference ``occupancy_registration.py`` yields the
+        refiner's intermediate states; re-running ``register(1)`` per
+        step would reset Adam's moments every yield and oscillate)."""
         iteration = 100 if iteration is None else int(iteration)
         yield self._transform
-        for _ in range(iteration):
-            self.register(iteration=1)
+        qs, ts, _ = register_occupancy(
+            jnp.asarray(self._points),
+            jnp.asarray(self._grid),
+            self._q,
+            self._t,
+            pitch=self._pitch,
+            origin=jnp.asarray(self._origin),
+            threshold=self._threshold,
+            iterations=iteration,
+            alpha=self._alpha,
+            trajectory=True,
+        )
+        qs, ts = np.asarray(qs), np.asarray(ts)
+        for k in range(iteration):
+            self._q, self._t = qs[k], ts[k]
             yield self._transform

@@ -20,3 +20,18 @@ from .instance_segmentation import SyntheticInstanceSegmentationDataset
 from .background_composite import BackgroundComposite
 from .rgbd_pose_estimation.frame_directory import FrameDirectoryDataset
 from .rgbd_pose_estimation.frame_directory import save_frame
+
+
+def __getattr__(name):
+    # Reference parity: ``morefusion.datasets.YCBVideoModels`` etc. live at
+    # the package top level (``morefusion/datasets/__init__.py:1-35``).
+    # Lazy because they require the real YCB-Video data on disk.
+    if name in (
+        "YCBVideoModels",
+        "YCBVideoDataset",
+        "YCBVideoRGBDPoseEstimationDataset",
+    ):
+        from . import ycb_video as _yv
+
+        return getattr(_yv, name)
+    raise AttributeError(name)

@@ -45,6 +45,11 @@ class RGBDPoseEstimationDatasetBase(DatasetBase):
         self._class_ids = class_ids
         self._random_state = np.random.RandomState()
 
+    @property
+    def models(self):
+        """The CAD/asset bank this dataset draws from."""
+        return self._models
+
     def get_frame(self, index) -> dict:
         raise NotImplementedError
 

@@ -19,9 +19,16 @@ measured on v5e):
 - **sublane-axis reduction**: distance blocks are laid out (CHUNK, TILE_V)
   with the voxel tile on the lane axis, so the min-reduce runs over
   sublanes (cheap register shifts) instead of lanes (expensive shuffles).
-- **fp32 MXU passes**: bf16 suffers catastrophic cancellation in
-  ``p2 - 2*cross + c2`` (absolute error ~|cross| * 2^-8), displacing
-  winners far outside the composite-key quantum.
+- **two-pass hi/lo bf16 cross term** (default): plain bf16 suffers
+  catastrophic cancellation in ``p2 - 2*cross + c2`` (absolute error
+  ~|cross| * 2^-8), but fp32-HIGHEST costs 6 MXU passes and is ~half the
+  kernel time. Voxel-center coordinates are small integers — *exact* in
+  bf16 — so only the points need widening: ``p = hi + lo`` (both bf16)
+  gives ``cross = hi.c + lo.c`` in 2 passes with error ~|p||c| * 2^-16
+  (~0.03 voxel^2 worst case, below the composite key's own 9-bit
+  quantum at winning distances; measured vs an fp64 oracle the max |d2|
+  error equals HIGHEST's and winner flips are ~0.07%). 1.65x kernel
+  speedup. ``precision="highest"`` restores exact-fp32 passes.
 - **sublane-major point blocks + scratch accumulator**: points stream in
   (P_SUB, 8) VMEM blocks over a third (sequential) grid axis; the running
   composite min lives in VMEM scratch (persists across grid steps) and the
@@ -63,6 +70,7 @@ def _kernel(
     tile_v,
     chunk,
     p_sub,
+    split_mxu,
 ):
     X, Y, Z = dims
     tile = pl.program_id(1)
@@ -87,12 +95,22 @@ def _kernel(
         p_t = pts_ref[0, pl.ds(c * chunk, chunk), :]  # (CHUNK, 8)
         pp = p2_ref[0, pl.ds(c * chunk, chunk), 0]  # (CHUNK,)
         sq = sdfq_ref[0, pl.ds(c * chunk, chunk), 0]  # (CHUNK,) int32
-        cross = jnp.dot(
-            p_t,
-            coords_t,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (CHUNK, TILE_V) — MXU; voxel tile on the lane axis
+        if split_mxu:
+            # coords are exact in bf16 (small integers); split the points
+            # into hi + lo bf16 halves -> 2 MXU passes, ~fp32 accuracy
+            hi = p_t.astype(jnp.bfloat16)
+            lo = (p_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cb = coords_t.astype(jnp.bfloat16)
+            cross = jnp.dot(
+                hi, cb, preferred_element_type=jnp.float32
+            ) + jnp.dot(lo, cb, preferred_element_type=jnp.float32)
+        else:
+            cross = jnp.dot(
+                p_t,
+                coords_t,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (CHUNK, TILE_V) — MXU; voxel tile on the lane axis
         d2 = pp[:, None] - 2.0 * cross + c2[None, :]
         idx = (
             s * p_sub
@@ -180,7 +198,7 @@ def _finalize(key, key_sdf, ip, valid, dims):
     return d2, arg, payload
 
 
-def _run(ip, valid, dims, tile_v, chunk, payload_q=None):
+def _run(ip, valid, dims, tile_v, chunk, payload_q=None, precision="split"):
     X, Y, Z = dims
     V = X * Y * Z
     assert V % tile_v == 0, (V, tile_v)
@@ -205,7 +223,12 @@ def _run(ip, valid, dims, tile_v, chunk, payload_q=None):
     )
     key, key_sdf = pl.pallas_call(
         functools.partial(
-            _kernel, dims=dims, tile_v=tile_v, chunk=chunk, p_sub=_P_SUB
+            _kernel,
+            dims=dims,
+            tile_v=tile_v,
+            chunk=chunk,
+            p_sub=_P_SUB,
+            split_mxu=(precision == "split"),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * V,), jnp.int32),
@@ -244,37 +267,45 @@ def _run(ip, valid, dims, tile_v, chunk, payload_q=None):
     return d2, arg, payload
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "tile_v", "chunk", "precision")
+)
 def min_dist_voxels_pallas(
     ip: jnp.ndarray,  # (P, 3) continuous voxel-space coordinates
     valid: jnp.ndarray,  # (P,) bool
     dims,
     tile_v: int = 2048,
     chunk: int = 256,
+    precision: str = "split",
 ):
     """Returns (d2_min (V,), argmin (V,)) in voxel-coordinate units^2."""
-    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk)
+    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk, precision=precision)
     return d2, arg
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "tile_v", "chunk", "precision")
+)
 def min_dist_voxels_pallas_batched(
     ip: jnp.ndarray,  # (B, P, 3)
     valid: jnp.ndarray,  # (B, P)
     dims,
     tile_v: int = 2048,
     chunk: int = 256,
+    precision: str = "split",
 ):
     """Batched variant (explicit batch grid dimension — vmap of a Pallas
     call would produce block shapes the TPU lowering rejects).
 
     Returns (d2_min (B, V), argmin (B, V)).
     """
-    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk)
+    d2, arg, _ = _run(ip, valid, dims, tile_v, chunk, precision=precision)
     return d2, arg
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "tile_v", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "tile_v", "chunk", "precision")
+)
 def min_dist_voxels_pallas_payload(
     ip: jnp.ndarray,  # (B?, P, 3)
     valid: jnp.ndarray,  # (B?, P)
@@ -282,11 +313,18 @@ def min_dist_voxels_pallas_payload(
     dims,
     tile_v: int = 2048,
     chunk: int = 256,
+    precision: str = "split",
 ):
     """Like the plain variants, but also min-selects a quantized per-point
     payload (e.g. SDF) alongside the winner — gather-free weight lookup
     for the pseudo-occupancy grids.
 
     Returns (d2_min, argmin, payload_of_winner) each (B?, V).
+
+    ``precision``: "split" (default — 2-pass hi/lo bf16 cross term, see
+    module docstring) or "highest" (exact-fp32 6-pass MXU).
     """
-    return _run(ip, valid, dims, tile_v, chunk, payload_q=payload_q)
+    return _run(
+        ip, valid, dims, tile_v, chunk, payload_q=payload_q,
+        precision=precision,
+    )
