@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--methods", nargs="+",
                         default=["morefusion", "morefusion+icp"])
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 activation compute (fp32 params; ~1.5x inference "
+        "throughput on TPU at negligible pose delta)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -45,16 +50,21 @@ def main():
     with_occupancy = train_args.get("with_occupancy", False) or (
         "occupancy" in train_args.get("loss", "")
     )
+    import jax.numpy as jnp
+
+    dtype_kw = dict(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
     if train_args.get("tiny"):
         model = models.tiny_singleview3d(
             n_fg_class, n_point=train_args.get("n_point", 1000),
-            with_occupancy=with_occupancy,
+            with_occupancy=with_occupancy, **dtype_kw,
         )
     else:
         model = models.SingleView3D(
             n_fg_class=n_fg_class,
             n_point=train_args.get("n_point", 1000),
-            with_occupancy=with_occupancy,
+            with_occupancy=with_occupancy, **dtype_kw,
         )
 
     models_bank = ProceduralModels()
