@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument(
+        "--num-workers", type=int, default=0,
+        help="data-loading worker processes (0 = in-process prefetch "
+        "thread; use ~half the host cores on a TPU VM)",
+    )
     parser.add_argument("--tiny", action="store_true", help="CI-sized model")
     parser.add_argument("--n-point", type=int, default=1000)
     parser.add_argument("--eval-interval", type=float, default=0.25,
@@ -115,6 +120,7 @@ def main():
         resume=args.resume,
         max_steps=args.max_steps,
         args_dict=vars(args),
+        num_workers=args.num_workers,
     )
     print("final summary:", {k: round(v, 4) for k, v in summary.items() if k.count("/") <= 2})
 

@@ -142,10 +142,13 @@ def _min_dist_fwd_impl(points, valid, payload_q, pitch, origin, dims, chunk):
         payload_q = jnp.zeros(points.shape[:-1], jnp.int32)
 
     # TPU fast path: Pallas streaming kernel (MXU cross term, running
-    # min/argmin in VMEM — O(V + P) HBM traffic).
+    # min/argmin in VMEM — O(V + P) HBM traffic). Point sets beyond the
+    # composite-key index capacity fall back to the XLA scan path below.
     if jax.default_backend() != "cpu" and dtype == jnp.float32:
+        from ..ops.min_dist_pallas import MAX_POINTS
+
         tile_v = _pick_tile(V)
-        if tile_v is not None:
+        if tile_v is not None and points.shape[-2] <= MAX_POINTS:
             from ..ops.min_dist_pallas import (
                 min_dist_voxels_pallas_payload,
             )

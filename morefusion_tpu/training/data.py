@@ -1,12 +1,17 @@
 """Host-side data feeding: shuffled batching with background prefetch.
 
 Replaces the reference's ``MultithreadIterator`` (``train.py:360-365``):
-a thread prefetches transformed, stacked batches while the device computes.
-Fixed shapes throughout (256^2 crops, 32^3 grids) keep XLA recompile-free.
+a thread prefetches transformed, stacked batches while the device computes;
+``num_workers > 0`` fans the per-batch npz-load + augmentation work out to
+forked worker processes (the GIL caps a single thread at one core — on a
+TPU-VM host with ~100 cores this is the difference between the device
+waiting on data and full step throughput). Fixed shapes throughout
+(256^2 crops, 32^3 grids) keep XLA recompile-free.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from typing import Callable, Iterator, Optional
@@ -14,6 +19,14 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 
 from .trainer import stack_examples
+
+# fork-inherited handle so worker processes never pickle the dataset
+# (set immediately before the pool forks; workers only receive indices)
+_WORKER_LOADER = None
+
+
+def _worker_make_batch(batch_idx):
+    return _WORKER_LOADER._make_batch(batch_idx)
 
 
 class BatchLoader:
@@ -27,6 +40,7 @@ class BatchLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         indices: Optional[np.ndarray] = None,
+        num_workers: int = 0,
     ):
         self._dataset = dataset
         self._batch_size = batch_size
@@ -35,6 +49,7 @@ class BatchLoader:
         self._rng = np.random.RandomState(seed)
         self._drop_last = drop_last
         self._prefetch = prefetch
+        self._num_workers = int(num_workers)
         self._indices = (
             np.arange(len(dataset)) if indices is None else np.asarray(indices)
         )
@@ -60,7 +75,20 @@ class BatchLoader:
             examples.append(ex)
         return stack_examples(examples)
 
+    def _batch_index_list(self, idx):
+        out = []
+        for b in range(len(self)):
+            lo = b * self._batch_size
+            batch_idx = idx[lo : lo + self._batch_size]
+            if self._drop_last and len(batch_idx) < self._batch_size:
+                break
+            out.append(batch_idx)
+        return out
+
     def __iter__(self) -> Iterator[dict]:
+        if self._num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
         idx = self._epoch_indices()
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
@@ -93,3 +121,27 @@ class BatchLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_multiprocess(self) -> Iterator[dict]:
+        """Fan per-batch loading out to forked worker processes.
+
+        Workers receive only index arrays (the dataset rides the fork
+        image, never pickled); ``imap`` keeps epoch order, so results are
+        bit-identical to the serial path for a given seed. Deterministic
+        per-example augmentation RNG must be derived from the example
+        index (the ReIndexed datasets do this) — fork duplicates any
+        global RNG state into every worker.
+        """
+        global _WORKER_LOADER
+        batches = self._batch_index_list(self._epoch_indices())
+        ctx = multiprocessing.get_context("fork")
+        _WORKER_LOADER = self
+        pool = ctx.Pool(self._num_workers)
+        try:
+            yield from pool.imap(
+                _worker_make_batch, batches, chunksize=1
+            )
+        finally:
+            pool.terminate()
+            pool.join()
+            _WORKER_LOADER = None

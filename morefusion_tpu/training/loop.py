@@ -52,6 +52,7 @@ def fit(
     resume: bool = False,
     max_steps: Optional[int] = None,
     args_dict: Optional[dict] = None,
+    num_workers: int = 0,
 ):
     """Train; returns (state, final eval summary)."""
     is_primary = jax.process_index() == 0
@@ -66,7 +67,12 @@ def fit(
     )
 
     train_loader = BatchLoader(
-        train_dataset, batch_size, transform_train, shuffle=True, seed=seed
+        train_dataset,
+        batch_size,
+        transform_train,
+        shuffle=True,
+        seed=seed,
+        num_workers=num_workers,
     )
     val_loader = BatchLoader(
         val_dataset,
@@ -74,6 +80,7 @@ def fit(
         transform_val,
         shuffle=False,
         drop_last=True,
+        num_workers=num_workers,
     )
 
     # init from one example batch

@@ -143,3 +143,28 @@ def test_log_report(tmp_path):
     args = training.load_args(str(tmp_path))
     assert args["lr"] == 1e-4
     assert "hostname" in args and "timestamp" in args
+
+
+def test_batch_loader_multiprocess_matches_serial():
+    """num_workers>0 must be bit-identical to the serial path: same epoch
+    order (imap preserves it) and same per-example content."""
+    from morefusion_tpu.training.data import BatchLoader
+
+    class _DS:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(1000 + i)  # index-derived RNG
+            return {
+                "x": r.rand(4).astype(np.float32),
+                "idx": np.int32(i),
+            }
+
+    kw = dict(batch_size=4, shuffle=True, seed=7, drop_last=True)
+    serial = list(BatchLoader(_DS(), **kw))
+    multi = list(BatchLoader(_DS(), num_workers=2, **kw))
+    assert len(serial) == len(multi) == 3
+    for a, b in zip(serial, multi):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["x"], b["x"])
