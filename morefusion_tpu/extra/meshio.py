@@ -146,3 +146,78 @@ def inside_distance_from_occupancy(
 
     dist = scipy.ndimage.distance_transform_edt(occ) * pitch
     return dist[occ]
+
+
+def box_mesh(extents, center=(0.0, 0.0, 0.0)):
+    """Axis-aligned box as (vertices (8, 3), faces (12, 3))."""
+    ex, ey, ez = (float(e) / 2.0 for e in extents)
+    cx, cy, cz = center
+    v = np.array(
+        [
+            [sx * ex + cx, sy * ey + cy, sz * ez + cz]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ],
+        dtype=np.float64,
+    )
+    f = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        dtype=np.int32,
+    )
+    return v, f
+
+
+def merge_meshes(meshes):
+    """Concatenate [(vertices, faces), ...] into one (vertices, faces)."""
+    verts, faces, off = [], [], 0
+    for v, f in meshes:
+        verts.append(np.asarray(v, np.float64))
+        faces.append(np.asarray(f, np.int32) + off)
+        off += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def bin_model(extents, thickness):
+    """Five-wall open-top bin mesh (reference
+    ``morefusion/extra/_trimesh/utils.py:32-57``): two full-height x walls,
+    two inset y walls, one bottom plate. Returns (vertices, faces)."""
+    xl, yl, zl = extents
+    t = thickness
+    walls = [
+        box_mesh((t, yl, zl), (xl / 2, 0, 0)),
+        box_mesh((t, yl, zl), (-xl / 2, 0, 0)),
+        box_mesh((xl, t, zl), (0, yl / 2 - t / 2, 0)),
+        box_mesh((xl, t, zl), (0, -yl / 2 + t / 2, 0)),
+        box_mesh((xl, yl, t), (0, 0, -zl / 2 + t / 2)),
+    ]
+    return merge_meshes(walls)
+
+
+def tile_meshes(meshes, shape=None, spacing=None):
+    """Lay out [(vertices, faces), ...] on a grid (reference
+    ``extra.trimesh.tile_meshes`` display helper). Returns one merged
+    (vertices, faces) with each mesh centered in its own cell."""
+    n = len(meshes)
+    if shape is None:
+        cols = int(np.ceil(np.sqrt(n)))
+        shape = (int(np.ceil(n / cols)), cols)
+    if spacing is None:
+        spacing = max(
+            float(np.ptp(np.asarray(v), axis=0).max()) for v, _ in meshes
+        ) * 1.2
+    placed = []
+    for k, (v, f) in enumerate(meshes):
+        r, c = divmod(k, shape[1])
+        v = np.asarray(v, np.float64)
+        center = (v.min(axis=0) + v.max(axis=0)) / 2.0
+        offset = np.array([c * spacing, -r * spacing, 0.0]) - center
+        placed.append((v + offset, f))
+    return merge_meshes(placed)

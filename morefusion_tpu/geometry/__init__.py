@@ -18,6 +18,8 @@ from .cameras import look_at
 from .cameras import points_from_angles
 from .cameras import project_to_camera
 from .cameras import uniform_points_on_sphere
+from .cameras import to_opengl_transform
+from .cameras import from_opengl_transform
 from .transform import compose_transform
 from .transform import quaternion_from_matrix
 from .transform import quaternion_matrix_np

@@ -93,3 +93,24 @@ def project_to_camera(
         r = np.clip(r, 0, image_shape[0] - 1)
         c = np.clip(c, 0, image_shape[1] - 1)
     return r, c
+
+
+def _rot_x_180():
+    R = np.eye(4)
+    R[1, 1] = R[2, 2] = -1.0
+    return R
+
+
+def to_opengl_transform(transform=None):
+    """Computer-vision camera pose (z forward, y down) -> OpenGL (z
+    backward, y up): right-multiply by a 180-degree x rotation (reference
+    ``morefusion/extra/_trimesh/utils.py:9-14``)."""
+    T = np.eye(4) if transform is None else np.asarray(transform)
+    return T @ _rot_x_180()
+
+
+def from_opengl_transform(transform=None):
+    """Inverse of :func:`to_opengl_transform` (the rotation is an
+    involution, reference ``utils.py:17-22``)."""
+    T = np.eye(4) if transform is None else np.asarray(transform)
+    return T @ _rot_x_180()
