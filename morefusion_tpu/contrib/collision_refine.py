@@ -288,6 +288,7 @@ class IterativeCollisionCheck:
         sdf_offset: float = 0.0,
         max_points: Optional[int] = None,
         cross_mode: str = "resample",
+        pad_objects: bool = True,
     ):
         from ..geometry.transform import (
             quaternion_from_matrix,
@@ -295,16 +296,28 @@ class IterativeCollisionCheck:
         )
 
         N = len(transforms)
+        # pad the object axis to a power-of-two bucket so a serving loop
+        # with a varying live-object count reuses one compiled refine per
+        # bucket instead of recompiling the 30-iteration scan per N
+        # (padded slots are masked out of the loss via obj_mask)
+        Np = 1 << (N - 1).bit_length() if pad_objects and N > 0 else N
+        self._n = N
+        self._obj_mask = np.zeros((Np,), bool)
+        self._obj_mask[:N] = True
         M = max_points or max(len(p) for p in points)
-        self._q = np.stack(
+        self._q = np.tile(
+            np.array([1, 0, 0, 0], np.float32), (Np, 1)
+        )
+        self._q[:N] = np.stack(
             [quaternion_from_matrix(T) for T in transforms]
         ).astype(np.float32)
-        self._t = np.stack(
+        self._t = np.zeros((Np, 3), np.float32)
+        self._t[:N] = np.stack(
             [translation_from_matrix(T) for T in transforms]
         ).astype(np.float32)
-        self._points = np.zeros((N, M, 3), np.float32)
-        self._sdf = np.zeros((N, M), np.float32)
-        self._mask = np.zeros((N, M), bool)
+        self._points = np.zeros((Np, M, 3), np.float32)
+        self._sdf = np.zeros((Np, M), np.float32)
+        self._mask = np.zeros((Np, M), bool)
         for i, (p, s) in enumerate(zip(points, sdf)):
             k = min(len(p), M)
             if len(p) > M:
@@ -313,17 +326,22 @@ class IterativeCollisionCheck:
             self._points[i, :k] = p[:k]
             self._sdf[i, :k] = s[:k]
             self._mask[i, :k] = True
-        self._pitch = np.asarray(pitch, np.float32)
-        self._origin = np.asarray(origin, np.float32)
-        self._grid_target = np.asarray(grid_target, np.float32)
-        self._gne = np.asarray(grid_nontarget_empty, np.float32)
+        self._pitch = np.ones((Np,), np.float32)
+        self._pitch[:N] = np.asarray(pitch, np.float32)
+        self._origin = np.zeros((Np, 3), np.float32)
+        self._origin[:N] = np.asarray(origin, np.float32)
+        V = np.asarray(grid_target).shape[-1]
+        self._grid_target = np.zeros((Np, V, V, V), np.float32)
+        self._grid_target[:N] = np.asarray(grid_target, np.float32)
+        self._gne = np.zeros((Np, V, V, V), np.float32)
+        self._gne[:N] = np.asarray(grid_nontarget_empty, np.float32)
         self._voxel_dim = voxel_dim
         self._threshold = threshold
         self._sdf_offset = sdf_offset
         self._cross_mode = cross_mode
 
     def refine(self, iterations: int = 30, alpha: float = 0.01):
-        q, t, losses, n_iter = refine_collision(
+        out = refine_collision(
             self._q,
             self._t,
             self._points,
@@ -333,6 +351,7 @@ class IterativeCollisionCheck:
             self._origin,
             self._grid_target,
             self._gne,
+            obj_mask=jnp.asarray(self._obj_mask),
             voxel_dim=self._voxel_dim,
             threshold=self._threshold,
             sdf_offset=self._sdf_offset,
@@ -340,6 +359,9 @@ class IterativeCollisionCheck:
             alpha=alpha,
             cross_mode=self._cross_mode,
         )
+        # single device->host transfer for the whole result tuple (each
+        # separate np.asarray is its own round trip)
+        q, t, losses, n_iter = jax.device_get(out)
         self._q = np.asarray(q)
         self._t = np.asarray(t)
         return self.transforms, np.asarray(losses), int(n_iter)
@@ -349,7 +371,7 @@ class IterativeCollisionCheck:
         from ..geometry.transform import quaternion_matrix_np
 
         out = []
-        for q, t in zip(self._q, self._t):
+        for q, t in zip(self._q[: self._n], self._t[: self._n]):
             T = quaternion_matrix_np(q)
             T[:3, 3] = t
             out.append(T)

@@ -49,6 +49,12 @@ inline void unpack(int64_t key, int64_t* i, int64_t* j, int64_t* k) {
 struct VoxelMap {
   float pitch = 0.01f;
   std::unordered_map<int64_t, float> cells;
+  // conservative (never-shrinking) AABB over cells that ever became
+  // occupied, in voxel indices — rendering clips rays to it, which turns
+  // the per-pixel x per-map DDA from O(max_range/pitch) steps into
+  // O(object extent/pitch) and skips rays that miss the object entirely
+  int64_t bmin[3] = {INT64_MAX, INT64_MAX, INT64_MAX};
+  int64_t bmax[3] = {INT64_MIN, INT64_MIN, INT64_MIN};
 
   inline int64_t quantize1(double x) const {
     return (int64_t)std::floor(x / pitch);
@@ -61,6 +67,42 @@ struct VoxelMap {
     if (v < kClampMin) v = kClampMin;
     if (v > kClampMax) v = kClampMax;
     cells[key] = v;
+    if (v >= kOccupiedLogOdds) {
+      int64_t i, j, k;
+      unpack(key, &i, &j, &k);
+      if (i < bmin[0]) bmin[0] = i;
+      if (j < bmin[1]) bmin[1] = j;
+      if (k < bmin[2]) bmin[2] = k;
+      if (i > bmax[0]) bmax[0] = i;
+      if (j > bmax[1]) bmax[1] = j;
+      if (k > bmax[2]) bmax[2] = k;
+    }
+  }
+
+  // Clip the ray o + t*d (unit d) to the occupied AABB; returns false if
+  // the map is empty or the ray misses. On true, [*t0, *t1] is the
+  // in-bounds parameter range intersected with the incoming [*t0, *t1].
+  bool clip_ray(const double o[3], const double d[3], double* t0,
+                double* t1) const {
+    if (bmin[0] > bmax[0]) return false;  // no occupied cells
+    double lo = *t0, hi = *t1;
+    for (int a = 0; a < 3; ++a) {
+      double wmin = (double)bmin[a] * pitch;
+      double wmax = ((double)bmax[a] + 1.0) * pitch;
+      if (std::fabs(d[a]) < 1e-12) {
+        if (o[a] < wmin || o[a] > wmax) return false;
+        continue;
+      }
+      double ta = (wmin - o[a]) / d[a];
+      double tb = (wmax - o[a]) / d[a];
+      if (ta > tb) std::swap(ta, tb);
+      if (ta > lo) lo = ta;
+      if (tb < hi) hi = tb;
+      if (lo > hi) return false;
+    }
+    *t0 = lo;
+    *t1 = hi;
+    return true;
   }
 
   // log-odds at world point; NaN if unknown
@@ -316,10 +358,14 @@ int mfm_render(void* h, const double K[9], const double T_cam2world[16],
 
       int best_id = -2;
       double best_t = max_range;
+      const double orig[3] = {ox, oy, oz};
+      const double dir[3] = {dx, dy, dz};
       for (auto& kv : m->maps) {
         const VoxelMap& vm = kv.second;
-        double o[3] = {ox, oy, oz};
-        double e[3] = {ox + dx * best_t, oy + dy * best_t, oz + dz * best_t};
+        double t0 = 0.0, t1 = best_t;
+        if (!vm.clip_ray(orig, dir, &t0, &t1)) continue;
+        double o[3] = {ox + dx * t0, oy + dy * t0, oz + dz * t0};
+        double e[3] = {ox + dx * t1, oy + dy * t1, oz + dz * t1};
         double hit_t = -1.0;
         vm.walk_ray(o, e, [&](int64_t i, int64_t j, int64_t k) {
           auto it = vm.cells.find(pack(i, j, k));

@@ -46,6 +46,7 @@ class ScenePipeline:
         self.pose_node = PoseEstimationNode(
             model, params, models, voxel_dim=voxel_dim, with_icp=with_icp
         )
+        self._n_votes = n_votes
         self.object_mapping = ObjectMapping(
             models, class_ids_symmetric, n_votes=n_votes
         )
@@ -54,7 +55,7 @@ class ScenePipeline:
     def reset(self):
         self.fusion.reset()
         self.object_mapping = ObjectMapping(
-            self._models, class_ids_symmetric,
+            self._models, class_ids_symmetric, n_votes=self._n_votes
         )
         self.last_poses = {}
 

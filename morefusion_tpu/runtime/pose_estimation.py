@@ -99,18 +99,32 @@ class PoseEstimationNode:
         if not ids:
             return {}
 
+        # pad the instance batch to a power-of-two bucket: a varying
+        # detection count otherwise recompiles the forward per new B
+        # (padding rows repeat instance 0; their outputs are discarded)
+        B = len(ids)
+        Bp = 1 << (B - 1).bit_length()
+        pad = [0] * (Bp - B)
+        take = list(range(B)) + pad
+
         batch = dict(
-            class_id=np.asarray(class_ids, np.int32),
-            rgb=np.stack(rgbs).astype(np.float32),
-            pcd=np.stack(pcds).astype(np.float32),
-            pitch=np.asarray(pitches, np.float32),
+            class_id=np.asarray(class_ids, np.int32)[take],
+            rgb=np.stack(rgbs).astype(np.float32)[take],
+            pcd=np.stack(pcds).astype(np.float32)[take],
+            pitch=np.asarray(pitches, np.float32)[take],
         )
         if getattr(self._model, "with_occupancy", False):
             batch["grid_nontarget_empty"] = np.stack(grids).astype(
                 np.float32
-            )
-        quat, trans, conf = self._predict(self._params, **batch)
-        quat, trans, conf = map(np.asarray, (quat, trans, conf))
+            )[take]
+        out = self._predict(self._params, **batch)
+        # one device->host transfer for all three outputs (each separate
+        # np.asarray is a full round trip — 3x the sync cost per frame)
+        import jax
+
+        quat, trans, conf = (
+            np.asarray(a)[:B] for a in jax.device_get(out)
+        )
 
         results = {}
         for k, ins_id in enumerate(ids):
