@@ -124,6 +124,23 @@ class ProceduralModels(ModelsBase):
         return _COLORS[int(class_id)]
 
     @functools.lru_cache(maxsize=None)
+    def get_surface_samples(self, class_id, n_points):
+        """Cached (points, normals) surface samples for the renderer.
+
+        The renderer previously recomputed these deterministic samples for
+        every render call (the iterative SDF projection in
+        ``sample_surface`` dominated frame generation); with 21 fixed
+        classes the bank memoizes them. Seeding matches the renderer's
+        historical ``RandomState(cid * 7919 + 13)`` so outputs are
+        bit-identical.
+        """
+        shape = self._shapes[int(class_id)]
+        rng = np.random.RandomState(int(class_id) * 7919 + 13)
+        pts = shape.sample_surface(int(n_points), rng)
+        normals = shape.normals(pts)
+        return pts, normals
+
+    @functools.lru_cache(maxsize=None)
     def get_pcd(self, class_id):
         shape = self._shapes[int(class_id)]
         rng = np.random.RandomState(int(class_id))

@@ -19,6 +19,8 @@ renderer; imgviz.centerize is our cv2-based centerize.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ... import geometry as geometry_module
@@ -54,8 +56,24 @@ class RGBDPoseEstimationDatasetBase(DatasetBase):
         raise NotImplementedError
 
     def build_mapping(self, pcd, instance_label, instance_ids, class_ids):
-        """Fuse one frame into per-instance occupancy maps."""
-        mapping = MultiInstanceOccupancyMapping()
+        """Fuse one frame into per-instance occupancy maps.
+
+        Uses the C++ backend when available (same API and semantics as the
+        NumPy oracle, ~30x faster DDA carving — the oracle remains the
+        tested fallback and parity target, ``tests/contrib_tests/
+        test_mapping_native.py``).
+        """
+        mapping = None
+        if os.environ.get("MFTPU_NO_NATIVE_MAPPING") != "1":
+            try:
+                from ...contrib import mapping_native
+
+                if mapping_native.available():
+                    mapping = mapping_native.NativeMultiInstanceMapping()
+            except Exception:
+                mapping = None
+        if mapping is None:
+            mapping = MultiInstanceOccupancyMapping()
         nonnan = ~np.isnan(pcd).any(axis=2)
 
         for instance_id, class_id in zip(instance_ids, class_ids):

@@ -112,10 +112,15 @@ def render_scene(
     light /= np.linalg.norm(light)
 
     for ins_id, cid, T in zip(instance_ids, class_ids, Ts_cad2cam):
-        shape_obj = models.get_shape(cid)
-        rng = np.random.RandomState(int(cid) * 7919 + 13)
-        pts = shape_obj.sample_surface(n_points_per_object, rng)
-        normals = shape_obj.normals(pts)
+        if hasattr(models, "get_surface_samples"):
+            pts, normals = models.get_surface_samples(
+                int(cid), n_points_per_object
+            )
+        else:
+            shape_obj = models.get_shape(cid)
+            rng = np.random.RandomState(int(cid) * 7919 + 13)
+            pts = shape_obj.sample_surface(n_points_per_object, rng)
+            normals = shape_obj.normals(pts)
         pts_cam = pts @ T[:3, :3].T + T[:3, 3]
         n_cam = normals @ T[:3, :3].T
         shade = 0.45 + 0.55 * np.clip(-(n_cam @ light), 0.0, 1.0)
