@@ -24,7 +24,17 @@ import argparse
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--data", default=None, help="reindexed dataset dir")
+    parser.add_argument(
+        "--data", default=None, nargs="+",
+        help="reindexed/packed dataset dir(s); several dirs are "
+        "concatenated (the reference's real+data_syn mixing recipe, "
+        "train.py:263-310)",
+    )
+    parser.add_argument(
+        "--balance-sources", action="store_true",
+        help="subsample every extra --data source down to the first "
+        "source's size (reference RandomSamplingDataset balancing)",
+    )
     parser.add_argument("--val-data", default=None)
     parser.add_argument(
         "--model", default="singleview_3d",
@@ -59,13 +69,44 @@ def main():
     n_fg_class = 21
     with_occupancy = args.with_occupancy or "occupancy" in args.loss
 
+    device_augment = False
     if args.data:
-        train_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
-            args.data, split="train", augmentation=True
+
+        def build_train(path):
+            if datasets.is_packed(path):
+                # packed memmap store: host does only the mask-truncation
+                # augmentation; photometric/noise augmentation runs on
+                # device (training/augment_device.py)
+                return datasets.PackedPoseDataset(
+                    path, split="train", augmentation=True
+                )
+            return datasets.RGBDPoseEstimationDatasetReIndexed(
+                path, split="train", augmentation=True
+            )
+
+        sources = [build_train(p) for p in args.data]
+        device_augment = all(
+            isinstance(s, datasets.PackedPoseDataset) for s in sources
         )
-        val_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
-            args.val_data or args.data, split="val"
+        if args.balance_sources and len(sources) > 1:
+            n0 = len(sources[0])
+            sources[1:] = [
+                datasets.RandomSamplingDataset(s, n0, seed=args.seed)
+                for s in sources[1:]
+            ]
+        train_ds = (
+            sources[0]
+            if len(sources) == 1
+            else datasets.ConcatDataset(*sources)
         )
+        print("train sources:", [len(s) for s in sources])
+        val_path = args.val_data or args.data[0]
+        if datasets.is_packed(val_path):
+            val_ds = datasets.PackedPoseDataset(val_path, split="val")
+        else:
+            val_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+                val_path, split="val"
+            )
     else:
         print("no --data: generating a small synthetic set inline")
         train_src = datasets.SyntheticRGBDPoseEstimationDataset(
@@ -121,6 +162,7 @@ def main():
         max_steps=args.max_steps,
         args_dict=vars(args),
         num_workers=args.num_workers,
+        device_augment=device_augment,
     )
     print("final summary:", {k: round(v, 4) for k, v in summary.items() if k.count("/") <= 2})
 

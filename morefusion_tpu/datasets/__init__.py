@@ -3,6 +3,7 @@ factory, reindex materializer, loaders, and training transform."""
 
 # flake8: noqa: F401
 
+from .base import ConcatDataset
 from .base import DatasetBase
 from .base import ModelsBase
 from .base import VoxelGrid
@@ -13,6 +14,9 @@ from .rgbd_pose_estimation.synthetic import SyntheticRGBDPoseEstimationDataset
 from .rgbd_pose_estimation.reindex import reindex
 from .rgbd_pose_estimation.reindexed import RGBDPoseEstimationDatasetReIndexed
 from .rgbd_pose_estimation.reindexed import RandomSamplingDataset
+from .packed import PackedPoseDataset
+from .packed import is_packed
+from .packed import pack_reindexed
 from . import ycb_video
 from .external_results import load_posecnn_mat
 from .external_results import load_results_json
@@ -29,6 +33,7 @@ def __getattr__(name):
     if name in (
         "YCBVideoModels",
         "YCBVideoDataset",
+        "YCBVideoSyntheticDataset",
         "YCBVideoRGBDPoseEstimationDataset",
     ):
         from . import ycb_video as _yv

@@ -37,6 +37,52 @@ class DatasetBase:
         return self.get_example(index)
 
 
+class ConcatDataset(DatasetBase):
+    """Concatenation of datasets (reference: ``chainer.datasets.
+    ConcatenatedDataset`` as used by the real+syn mixing recipe,
+    reference ``train.py:263-310``).
+
+    Keeps the packed fast path: when every child exposes ``load_batch``,
+    a batch's indices are grouped per child, loaded vectorized, and
+    re-merged in request order.
+    """
+
+    def __init__(self, *datasets):
+        assert datasets
+        self._datasets = list(datasets)
+        self._sizes = np.array([len(d) for d in self._datasets])
+        self._offsets = np.concatenate([[0], np.cumsum(self._sizes)])
+        self._ids = list(range(int(self._sizes.sum())))
+        self._split = getattr(datasets[0], "split", None)
+
+    def _locate(self, index):
+        child = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return child, int(index - self._offsets[child])
+
+    def get_example(self, index):
+        child, local = self._locate(int(index))
+        return self._datasets[child].get_example(local)
+
+    def load_batch(self, indices) -> dict:
+        if not all(hasattr(d, "load_batch") for d in self._datasets):
+            raise AttributeError("not all children support load_batch")
+        indices = np.asarray(indices, dtype=np.int64)
+        child = np.searchsorted(self._offsets, indices, side="right") - 1
+        local = indices - self._offsets[child]
+        parts = {}
+        order = np.empty(len(indices), np.int64)
+        pos = 0
+        chunks = []
+        for c in np.unique(child):
+            sel = np.nonzero(child == c)[0]
+            chunks.append(self._datasets[c].load_batch(local[sel]))
+            order[sel] = np.arange(pos, pos + len(sel))
+            pos += len(sel)
+        for k in chunks[0]:
+            parts[k] = np.concatenate([ch[k] for ch in chunks])[order]
+        return parts
+
+
 class VoxelGrid:
     """Solid voxelization result: occupied voxel centers + metadata.
 

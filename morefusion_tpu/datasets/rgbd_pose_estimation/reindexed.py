@@ -82,3 +82,11 @@ class RandomSamplingDataset(DatasetBase):
 
     def get_example(self, index):
         return self._dataset.get_example(int(self._indices[index]))
+
+    def load_batch(self, indices) -> dict:
+        """Packed fast-path passthrough (indices mapped into the child)."""
+        if not hasattr(self._dataset, "load_batch"):
+            raise AttributeError("wrapped dataset has no load_batch")
+        return self._dataset.load_batch(
+            self._indices[np.asarray(indices, dtype=np.int64)]
+        )

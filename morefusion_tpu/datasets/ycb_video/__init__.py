@@ -15,7 +15,11 @@ def __getattr__(name):
         from .models import YCBVideoModels
 
         return YCBVideoModels
-    if name in ("YCBVideoDataset", "YCBVideoRGBDPoseEstimationDataset"):
+    if name in (
+        "YCBVideoDataset",
+        "YCBVideoSyntheticDataset",
+        "YCBVideoRGBDPoseEstimationDataset",
+    ):
         from . import dataset as _d
 
         return getattr(_d, name)

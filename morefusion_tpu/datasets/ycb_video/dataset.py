@@ -20,6 +20,9 @@ from ..rgbd_pose_estimation.base import RGBDPoseEstimationDatasetBase
 
 
 class YCBVideoDataset(DatasetBase):
+
+    _data_dir = "data"
+
     def __init__(self, split: str = "train", root_dir: str = None):
         assert split in ("train", "val", "trainval", "keyframe")
         self._root_dir = root_dir or get_data_path(
@@ -41,7 +44,7 @@ class YCBVideoDataset(DatasetBase):
         import imageio.v2 as imageio
         import scipy.io
 
-        base = os.path.join(self._root_dir, "data", image_id)
+        base = os.path.join(self._root_dir, self._data_dir, image_id)
         meta = scipy.io.loadmat(
             base + "-meta.mat", squeeze_me=True, struct_as_record=True
         )
@@ -74,6 +77,32 @@ class YCBVideoDataset(DatasetBase):
         return self.get_frame(self._ids[index])
 
 
+class YCBVideoSyntheticDataset(YCBVideoDataset):
+    """The data_syn split: rendered-only YCB-Video frames.
+
+    Reference: ``morefusion/datasets/ycb_video/synthetic_dataset.py:1-23``
+    — ids come from globbing ``data_syn/*-meta.mat`` (there is no
+    image-set file for the synthetic frames). The reference training
+    recipe mixes these with the real frames (``train.py:263-310``).
+    """
+
+    _data_dir = "data_syn"
+
+    def __init__(self, root_dir: str = None):
+        self._root_dir = root_dir or get_data_path(
+            "ycb_video", "YCB_Video_Dataset"
+        )
+        data_dir = os.path.join(self._root_dir, self._data_dir)
+        if not os.path.isdir(data_dir):
+            raise IOError(f"data_syn not found at {data_dir}")
+        self._split = "syn"
+        self._ids = sorted(
+            f.split("-")[0]
+            for f in os.listdir(data_dir)
+            if f.endswith("-meta.mat")
+        )
+
+
 class YCBVideoRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
     """Instance-example factory over real YCB-Video frames.
 
@@ -91,6 +120,12 @@ class YCBVideoRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
             models = YCBVideoModels()
         super().__init__(models, class_ids=class_ids)
         self._split = split
+        if split == "syn":
+            # data_syn frames: use every frame (reference ``rgbd_pose_
+            # estimation/ycb_video/dataset.py`` syn branch)
+            self._frames = YCBVideoSyntheticDataset(root_dir=root_dir)
+            self._ids = list(range(len(self._frames)))
+            return
         frame_split = "keyframe" if split == "val" else "train"
         self._frames = YCBVideoDataset(frame_split, root_dir=root_dir)
         ids = list(range(len(self._frames)))

@@ -67,6 +67,23 @@ class BatchLoader:
         return idx
 
     def _make_batch(self, batch_idx):
+        if hasattr(self._dataset, "load_batch"):
+            # packed fast path: one fancy-indexed memmap read + vectorized
+            # transform — no per-example npz decode (see datasets/packed.py)
+            try:
+                batch = self._dataset.load_batch(batch_idx)
+            except AttributeError:
+                batch = None  # wrapper whose child lacks the fast path
+            if batch is not None:
+                if self._transform is None:
+                    return batch
+                if hasattr(self._transform, "batch"):
+                    return self._transform.batch(batch)
+                examples = [
+                    self._transform({k: v[i] for k, v in batch.items()})
+                    for i in range(len(batch_idx))
+                ]
+                return stack_examples(examples)
         examples = []
         for i in batch_idx:
             ex = self._dataset[int(i)]

@@ -53,6 +53,7 @@ def fit(
     max_steps: Optional[int] = None,
     args_dict: Optional[dict] = None,
     num_workers: int = 0,
+    device_augment: bool = False,
 ):
     """Train; returns (state, final eval summary)."""
     is_primary = jax.process_index() == 0
@@ -100,6 +101,7 @@ def fit(
         mesh,
         with_occupancy=with_occupancy,
         occupancy_scale=occupancy_scale,
+        augment=device_augment,
     )
     eval_step = make_dp_eval_step(
         model, bank, mesh, with_occupancy=with_occupancy

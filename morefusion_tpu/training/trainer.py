@@ -108,6 +108,7 @@ def make_train_step(
     occupancy_scale: float = 1.0,
     lambda_confidence: float = 0.015,
     axis_name: Optional[str] = None,
+    augment: bool = False,
 ):
     """Build the jittable train step.
 
@@ -124,11 +125,18 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
-        sample_rng, dropout_rng = jax.random.split(rng)
+        sample_rng, dropout_rng, aug_rng = jax.random.split(rng, 3)
+        rgb, pcd = batch["rgb"], batch["pcd"]
+        if augment:
+            # photometric/noise augmentation fused into the step (the
+            # host keeps only the mask-truncation part — augment_device.py)
+            from . import augment_device
+
+            rgb, pcd = augment_device.augment_batch(aug_rng, rgb, pcd)
         kwargs = dict(
             class_id=batch["class_id"],
-            rgb=batch["rgb"],
-            pcd=batch["pcd"],
+            rgb=rgb,
+            pcd=pcd,
             rng=sample_rng,
             train=True,
         )

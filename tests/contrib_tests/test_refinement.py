@@ -45,6 +45,58 @@ def test_icp_recovers_small_perturbation(rng):
     assert err_after < 0.003
 
 
+def test_icp_gated_converges_early_at_equal_accuracy(rng):
+    from morefusion_tpu.contrib.icp import (
+        icp_point_to_point,
+        icp_point_to_point_gated,
+    )
+
+    models = ProceduralModels()
+    cad = models.get_pcd(2)[:512].astype(np.float32)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, 3] = [0.0, 0.0, 0.5]
+    depth = cad @ T_true[:3, :3].T + T_true[:3, 3]
+    T_init = (T_true @ _perturbed_pose(rng, angle_deg=6, trans=0.008)).astype(
+        np.float32
+    )
+
+    T_full = icp_point_to_point(
+        jnp.asarray(cad), jnp.asarray(depth), jnp.asarray(T_init),
+        max_correspondence_distance=0.02, iterations=100,
+    )
+    T_gated, n = icp_point_to_point_gated(
+        jnp.asarray(cad), jnp.asarray(depth), jnp.asarray(T_init),
+        max_correspondence_distance=0.02, max_iterations=100,
+    )
+    assert int(n) < 100  # stopped on the relative-RMSE criterion
+
+    def add_err(T):
+        T = np.asarray(T)
+        return np.linalg.norm(
+            (cad @ T[:3, :3].T + T[:3, 3]) - depth, axis=1
+        ).mean()
+
+    assert add_err(T_gated) < 0.003
+    assert abs(add_err(T_gated) - add_err(T_full)) < 1e-3
+
+
+def test_register_iterative_matches_register(rng):
+    models = ProceduralModels()
+    cad = models.get_pcd(3)[:512].astype(np.float32)
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0.0, 0.0, 0.4]
+    depth = cad @ T_true[:3, :3].T + T_true[:3, 3]
+    T_init = T_true @ _perturbed_pose(rng, angle_deg=5, trans=0.006)
+
+    reg = contrib.ICPRegistration(depth, cad, T_init)
+    Ts = list(reg.register_iterative(iteration=30, voxel_size=0.005))
+    assert len(Ts) == 31
+    err = np.linalg.norm(
+        (cad @ Ts[-1][:3, :3].T + Ts[-1][:3, 3]) - depth, axis=1
+    ).mean()
+    assert err < 0.003
+
+
 def test_gradient_icp_reduces_loss(rng):
     models = ProceduralModels()
     cad = models.get_pcd(4)[:500].astype(np.float32)
