@@ -32,6 +32,18 @@ def main():
         help="bf16 activation compute (fp32 params; ~1.5x inference "
         "throughput on TPU at negligible pose delta)",
     )
+    parser.add_argument(
+        "--grid-variant",
+        default="observed",
+        choices=["observed", "nontarget_full", "full_bg"],
+        help="occupancy-grid quality at eval (the ablation axis, "
+        "reference docs/index.html:200-203): observed maps (MF) / full "
+        "nontarget CAD grids (+target-) / ~grid_target_full (+target-+bg)",
+    )
+    parser.add_argument(
+        "--batch-size", type=int, default=16,
+        help="batched fast path for refinement-free methods",
+    )
     args = parser.parse_args()
 
     import jax
@@ -68,8 +80,20 @@ def main():
         )
 
     models_bank = ProceduralModels()
-    ds = datasets.RGBDPoseEstimationDatasetReIndexed(args.data, split="val")
-    transform = Transform(train=False, with_occupancy=with_occupancy)
+    if datasets.is_packed(args.data):
+        ds = datasets.PackedPoseDataset(args.data, split="val")
+    else:
+        ds = datasets.RGBDPoseEstimationDatasetReIndexed(
+            args.data, split="val"
+        )
+    eval_case = {
+        "observed": "empty+nontarget",
+        "nontarget_full": "empty+nontarget_full",
+        "full_bg": "empty+nontarget_full+other_full",
+    }[args.grid_variant]
+    transform = Transform(
+        train=False, with_occupancy=with_occupancy, eval_case=eval_case
+    )
 
     # restore best-AUC params (fall back to latest trainer state)
     bank = training.CadPointBank.build(models_bank, n_fg_class)
@@ -93,8 +117,48 @@ def main():
     records = {m: [] for m in args.methods}
     import time as _time
 
+    # refinement-free methods ride the batched eval step (one dispatch per
+    # batch instead of one per example — the relay round trip dominates)
+    fast_methods = [m for m in args.methods if m == "morefusion"]
+    slow_methods = [m for m in args.methods if m != "morefusion"]
+    if fast_methods:
+        loader_n = training.BatchLoader(
+            ds, args.batch_size, transform, shuffle=False,
+            indices=np.arange(n), drop_last=False,
+        )
+        _t0 = _time.time()
+        done = 0
+        for batch in loader_n:
+            B = len(batch["class_id"])
+            if B < args.batch_size:  # pad the tail batch
+                pad = [0] * (args.batch_size - B)
+                take = list(range(B)) + pad
+                batch = {k: np.asarray(v)[take] for k, v in batch.items()}
+            batch["rgb"] = batch["rgb"].astype(np.float32)
+            out = jax.device_get(eval_step(params, batch))
+            for b in range(B):
+                cid = int(out["class_id"][b])
+                records["morefusion"].append(
+                    dict(
+                        class_id=cid,
+                        add=float(out["add"][b]),
+                        add_s=float(out["add_s"][b]),
+                        add_or_add_s=float(
+                            out["add_s"][b]
+                            if cid in class_ids_symmetric
+                            else out["add"][b]
+                        ),
+                    )
+                )
+            done += B
+            if done % (args.batch_size * 8) == 0:
+                rate = done / (_time.time() - _t0)
+                print(f"  [fast] {done}/{n} ({rate:.1f} ex/s)", flush=True)
+        for m in fast_methods[1:]:
+            records[m] = list(records["morefusion"])
+
     _t0 = _time.time()
-    for index in range(n):
+    for index in range(n if slow_methods else 0):
         if index and index % 25 == 0:
             rate = index / (_time.time() - _t0)
             print(
@@ -151,7 +215,7 @@ def main():
                 )
             )
 
-        for method in args.methods:
+        for method in slow_methods:
             T = T_pred.copy()
             if "icc" in method:
                 vox = models_bank.get_solid_voxel_grid(class_id)

@@ -58,7 +58,7 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
         background_composite: bool = True,
         background_dir=None,
     ):
-        assert format in ("class_label", "masks")
+        assert format in ("class_label", "masks", "instance")
         self._format = format
         self._composite = None
         if background_composite:
@@ -88,6 +88,17 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
             )
         if self._format == "masks":
             return frame_to_masks(frame)
+        if self._format == "instance":
+            from ..models.segmentation import boundary_from_instance_label
+
+            return dict(
+                rgb=frame["rgb"].astype(np.float32),
+                class_label=frame_to_class_label(frame),
+                boundary=boundary_from_instance_label(
+                    frame["instance_label"]
+                ),
+                instance_label=frame["instance_label"].astype(np.int32),
+            )
         return dict(
             rgb=frame["rgb"].astype(np.float32),
             class_label=frame_to_class_label(frame),

@@ -26,10 +26,28 @@ TRAIN_CASES = (
 
 
 class Transform:
-    def __init__(self, train: bool, with_occupancy: bool, seed: int = 0):
+    def __init__(
+        self,
+        train: bool,
+        with_occupancy: bool,
+        seed: int = 0,
+        eval_case: str = "empty+nontarget",
+    ):
+        """``eval_case`` selects the deterministic grid combination used
+        when ``train=False`` — the occupancy-ablation grid variants
+        (reference ``docs/index.html:200-203``):
+
+        - ``empty+nontarget``: observed maps (the MF row; default)
+        - ``empty+nontarget_full``: full nontarget CAD grids (+target-)
+        - ``empty+nontarget_full+other_full``: ~grid_target_full, i.e.
+          full grids incl. background (+target-+bg; the reference
+          evaluate.py input)
+        """
+        assert eval_case in TRAIN_CASES
         self._train = train
         self._with_occupancy = with_occupancy
         self._rng = np.random.RandomState(seed)
+        self._eval_case = eval_case
 
     def __call__(self, in_data: dict) -> dict:
         in_data = dict(in_data)
@@ -70,7 +88,9 @@ class Transform:
         nontarget_ids = np.unique(grid_nontarget_full)
         nontarget_ids = nontarget_ids[nontarget_ids > 0]
         if len(nontarget_ids) > 0:
-            if len(nontarget_ids) > 1:
+            # random id-subset dropout is a training augmentation; eval
+            # uses every nontarget object's grid
+            if self._train and len(nontarget_ids) > 1:
                 nontarget_ids = self._rng.choice(
                     nontarget_ids,
                     size=self._rng.randint(1, len(nontarget_ids) + 1),
@@ -84,7 +104,7 @@ class Transform:
         case = (
             self._rng.choice(TRAIN_CASES)
             if self._train
-            else "empty+nontarget"
+            else self._eval_case
         )
 
         if case == "none":
@@ -156,7 +176,7 @@ class Transform:
         for b in range(B):
             ids = np.nonzero(np.bincount(gnf_ids[b].ravel()))[0]
             ids = ids[ids > 0]
-            if len(ids) > 1:
+            if self._train and len(ids) > 1:
                 ids = self._rng.choice(
                     ids, size=self._rng.randint(1, len(ids) + 1),
                     replace=False,
@@ -170,7 +190,7 @@ class Transform:
             case = (
                 self._rng.choice(TRAIN_CASES)
                 if self._train
-                else "empty+nontarget"
+                else self._eval_case
             )
             if case == "none":
                 gne[b] = False

@@ -34,11 +34,21 @@ class ConvBlock(nn.Module):
 
 
 class UNetSegmentation(nn.Module):
-    """RGB(+depth) -> per-pixel class logits (n_class incl. background)."""
+    """RGB(+depth) -> per-pixel class logits (n_class incl. background).
+
+    With ``with_boundary=True`` the decoder adds an instance-boundary
+    head (1-channel logit of "this pixel separates two instances") and
+    returns ``(class_logits, boundary_logits)`` — the semantic+boundary
+    instancing scheme that recovers *multiple instances per class*
+    (touching same-class objects are split along predicted boundaries),
+    closing the capability gap vs the reference's Mask R-CNN
+    (``examples/ycb_video/instance_segm/train_multi.py:53-170``).
+    """
 
     n_class: int = 22
     widths: Sequence[int] = (32, 64, 128, 256)
     use_depth: bool = False
+    with_boundary: bool = False
 
     @nn.compact
     def __call__(self, rgb, depth=None):
@@ -60,7 +70,11 @@ class UNetSegmentation(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(w)(x)
 
-        return nn.Conv(self.n_class, (1, 1))(x)
+        class_logits = nn.Conv(self.n_class, (1, 1))(x)
+        if not self.with_boundary:
+            return class_logits
+        boundary_logits = nn.Conv(1, (1, 1))(x)[..., 0]
+        return class_logits, boundary_logits
 
 
 def segmentation_loss(logits, labels, ignore_label: int = -1):
@@ -74,6 +88,101 @@ def segmentation_loss(logits, labels, ignore_label: int = -1):
     ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     ll = jnp.where(valid, ll, 0.0)
     return -jnp.sum(ll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def boundary_loss(logits, boundary_true, pos_weight: float = 5.0):
+    """Weighted sigmoid BCE on the instance-boundary head.
+
+    boundary_true: (B, H, W) bool/0-1. Boundary pixels are rare (~2% of a
+    frame), so positives are up-weighted.
+    """
+    y = boundary_true.astype(logits.dtype)
+    logp = jax.nn.log_sigmoid(logits)
+    lognp = jax.nn.log_sigmoid(-logits)
+    ll = pos_weight * y * logp + (1.0 - y) * lognp
+    denom = jnp.maximum(pos_weight * jnp.sum(y) + jnp.sum(1.0 - y), 1.0)
+    return -jnp.sum(ll) / denom
+
+
+def boundary_from_instance_label(
+    instance_label: np.ndarray, width: int = 2
+) -> np.ndarray:
+    """GT boundaries: pixels whose neighborhood spans 2+ instances.
+
+    Computed from the instance-label image (background < 0 excluded, so
+    object silhouettes against background are NOT boundaries — only
+    instance-instance contact lines, which is what separates touching
+    same-class objects).
+    """
+    import cv2
+
+    lab = instance_label.astype(np.int32)
+    fg = lab >= 0
+    big = np.where(fg, lab, -1).astype(np.float32)
+    k = np.ones((2 * width + 1,) * 2, np.uint8)
+    # max/min of the instance id over the neighborhood, restricted to fg
+    mx = cv2.dilate(np.where(fg, big, -np.inf).astype(np.float32), k)
+    mn = -cv2.dilate(np.where(fg, -big, -np.inf).astype(np.float32), k)
+    touch = np.isfinite(mx) & np.isfinite(mn) & (mx != mn)
+    return touch & fg
+
+
+def instances_from_predictions(
+    class_map: np.ndarray,
+    boundary: np.ndarray = None,
+    min_area: int = 50,
+) -> Tuple[np.ndarray, Dict[int, int]]:
+    """Class map (+ predicted boundaries) -> multi-instance labels.
+
+    Per class: connected components of (mask minus boundary pixels), each
+    surviving component (>= min_area) becomes an instance; boundary-carved
+    pixels are reassigned to the nearest surviving component
+    (distance-transform labels). Without a boundary map this degrades to
+    multi-component instancing (separated same-class objects still split).
+    """
+    import cv2
+
+    H, W = class_map.shape
+    instance_label = np.full((H, W), -1, np.int32)
+    instance_to_class: Dict[int, int] = {}
+    next_id = 0
+    bnd = (
+        np.zeros((H, W), bool)
+        if boundary is None
+        else boundary.astype(bool)
+    )
+    for cid in np.unique(class_map):
+        if cid <= 0:
+            continue
+        mask = class_map == cid
+        core = (mask & ~bnd).astype(np.uint8)
+        n, comp = cv2.connectedComponents(core)
+        keep = []
+        for k in range(1, n):
+            if int((comp == k).sum()) >= min_area:
+                keep.append(k)
+        if not keep:
+            continue
+        # reassign carved/boundary pixels of this class to the nearest
+        # surviving core pixel's component
+        core_keep = np.isin(comp, keep)
+        if (mask & ~core_keep).any():
+            dist, nearest = cv2.distanceTransformWithLabels(
+                (~core_keep).astype(np.uint8),
+                cv2.DIST_L2,
+                3,
+                labelType=cv2.DIST_LABEL_PIXEL,
+            )
+            ys, xs = np.nonzero(core_keep)
+            lut = np.zeros(int(nearest.max()) + 1, np.int32)
+            lut[nearest[ys, xs]] = comp[ys, xs]
+            comp = np.where(core_keep, comp, lut[nearest])
+        for k in keep:
+            sel = mask & (comp == k)
+            instance_label[sel] = next_id
+            instance_to_class[next_id] = int(cid)
+            next_id += 1
+    return instance_label, instance_to_class
 
 
 def instances_from_class_map(
@@ -110,21 +219,85 @@ def instances_from_class_map(
     return instance_label, instance_to_class
 
 
+def miou(class_map_pred: np.ndarray, class_map_true: np.ndarray,
+         n_class: int = 22) -> float:
+    """Mean IoU over classes present in either map (incl. background)."""
+    ious = []
+    for c in range(n_class):
+        p = class_map_pred == c
+        t = class_map_true == c
+        union = (p | t).sum()
+        if union == 0:
+            continue
+        ious.append((p & t).sum() / union)
+    return float(np.mean(ious)) if ious else 0.0
+
+
+def match_instances(
+    pred_label: np.ndarray,
+    pred_classes: Dict[int, int],
+    gt_label: np.ndarray,
+    gt_classes: Dict[int, int],
+    iou_threshold: float = 0.5,
+) -> Tuple[int, int, int]:
+    """Greedy IoU matching of predicted to GT instances (same class only).
+
+    Returns (n_matched, n_gt, n_pred) — detection rate = matched / gt.
+    """
+    used = set()
+    n_matched = 0
+    for gid, gcls in gt_classes.items():
+        gmask = gt_label == gid
+        if not gmask.any():
+            continue
+        best, best_iou = None, iou_threshold
+        for pid, pcls in pred_classes.items():
+            if pid in used or pcls != gcls:
+                continue
+            pmask = pred_label == pid
+            inter = (gmask & pmask).sum()
+            if inter == 0:
+                continue
+            iou = inter / (gmask | pmask).sum()
+            if iou >= best_iou:
+                best, best_iou = pid, iou
+        if best is not None:
+            used.add(best)
+            n_matched += 1
+    n_gt = sum(1 for g in gt_classes if (gt_label == g).any())
+    return n_matched, n_gt, len(pred_classes)
+
+
 class SegmentationNode:
     """Runtime segmenter: jit forward + host instancing.
 
-    Plugs into ``ScenePipeline(segmenter=...)``.
+    Plugs into ``ScenePipeline(segmenter=...)``. With a boundary-head
+    model, recovers multiple instances per class.
     """
 
-    def __init__(self, model: UNetSegmentation, params):
+    def __init__(self, model: UNetSegmentation, params, min_area: int = 50):
         self._model = model
         self._params = params
-        self._predict = jax.jit(
-            lambda p, rgb: jnp.argmax(model.apply(p, rgb), axis=-1)
-        )
+        self._min_area = min_area
+
+        if model.with_boundary:
+
+            def predict(p, rgb):
+                logits, blog = model.apply(p, rgb)
+                return jnp.argmax(logits, axis=-1), blog > 0.0
+
+        else:
+
+            def predict(p, rgb):
+                return jnp.argmax(model.apply(p, rgb), axis=-1), None
+
+        self._predict = jax.jit(predict)
 
     def __call__(self, rgb: np.ndarray, depth=None):
-        class_map = np.asarray(
-            self._predict(self._params, rgb.astype(np.float32)[None])
-        )[0]
-        return instances_from_class_map(class_map)
+        out = self._predict(self._params, rgb.astype(np.float32)[None])
+        class_map, bnd = jax.device_get(out)
+        return instances_from_predictions(
+            np.asarray(class_map)[0],
+            None if bnd is None else np.asarray(bnd)[0],
+            min_area=self._min_area,
+        )

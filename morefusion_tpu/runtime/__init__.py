@@ -19,6 +19,9 @@ from .picking import build_occlusion_graph
 from .picking import select_picking_order
 from .picking import suction_grasp_pose
 from .pipeline import ScenePipeline
+from .replay import SequenceRecorder
+from .replay import load_sequence
+from .replay import play_sequence
 from .robot import PickAction
 from .robot import PickAndPlacePlanner
 from .robot import RobotInterface
