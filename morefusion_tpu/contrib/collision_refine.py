@@ -201,6 +201,15 @@ def refine_collision(
     if obj_mask is None:
         obj_mask = jnp.ones((N,), bool)
 
+    # grids may arrive quantized to uint8 (serving pipeline: 4x fewer
+    # bytes through the host->device link); dequantize in-graph
+    if grid_target.dtype == jnp.uint8:
+        grid_target = grid_target.astype(jnp.float32) * (1.0 / 255.0)
+    if grid_nontarget_empty.dtype == jnp.uint8:
+        grid_nontarget_empty = (
+            grid_nontarget_empty.astype(jnp.float32) * (1.0 / 255.0)
+        )
+
     params = {
         "quaternion": jnp.asarray(quaternions, jnp.float32),
         "translation": jnp.asarray(translations, jnp.float32),
@@ -330,11 +339,23 @@ class IterativeCollisionCheck:
         self._pitch[:N] = np.asarray(pitch, np.float32)
         self._origin = np.zeros((Np, 3), np.float32)
         self._origin[:N] = np.asarray(origin, np.float32)
-        V = np.asarray(grid_target).shape[-1]
-        self._grid_target = np.zeros((Np, V, V, V), np.float32)
-        self._grid_target[:N] = np.asarray(grid_target, np.float32)
-        self._gne = np.zeros((Np, V, V, V), np.float32)
-        self._gne[:N] = np.asarray(grid_nontarget_empty, np.float32)
+        grid_target = np.asarray(grid_target)
+        grid_nontarget_empty = np.asarray(grid_nontarget_empty)
+        V = grid_target.shape[-1]
+        # uint8-quantized grids stay uint8 through the host->device
+        # transfer; refine_collision dequantizes in-graph
+        gt_dtype = (
+            np.uint8 if grid_target.dtype == np.uint8 else np.float32
+        )
+        gn_dtype = (
+            np.uint8
+            if grid_nontarget_empty.dtype == np.uint8
+            else np.float32
+        )
+        self._grid_target = np.zeros((Np, V, V, V), gt_dtype)
+        self._grid_target[:N] = grid_target.astype(gt_dtype)
+        self._gne = np.zeros((Np, V, V, V), gn_dtype)
+        self._gne[:N] = grid_nontarget_empty.astype(gn_dtype)
         self._voxel_dim = voxel_dim
         self._threshold = threshold
         self._sdf_offset = sdf_offset

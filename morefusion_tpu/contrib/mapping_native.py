@@ -86,6 +86,16 @@ def load_library(rebuild: bool = False):
             np.ctypeslib.ndpointer(np.float32, flags="C"),
             np.ctypeslib.ndpointer(np.float32, flags="C"),
         ]
+        lib.mfm_get_target_grids_batch.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+        ]
         lib.mfm_extract_points.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.float64, flags="C"), ctypes.c_int64,
@@ -175,6 +185,25 @@ class NativeMultiInstanceMapping:
         self._lib.mfm_get_target_grids(
             self._h, int(target_id), dims, float(pitch), origin,
             g_t.reshape(-1), g_n.reshape(-1), g_e.reshape(-1),
+        )
+        return g_t, g_n, g_e
+
+    def get_target_grids_batch(
+        self, target_ids, *, dimensions, pitches, origins
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(N, X, Y, Z) target/nontarget/empty grids in one native call."""
+        ids = np.ascontiguousarray(target_ids, dtype=np.int32)
+        n = len(ids)
+        dims = np.ascontiguousarray(dimensions, dtype=np.int64)
+        pitches = np.ascontiguousarray(pitches, dtype=np.float64)
+        origins = np.ascontiguousarray(origins, dtype=np.float64)
+        shape = (n,) + tuple(int(d) for d in dimensions)
+        g_t = np.zeros(shape, np.float32)
+        g_n = np.zeros(shape, np.float32)
+        g_e = np.zeros(shape, np.float32)
+        self._lib.mfm_get_target_grids_batch(
+            self._h, ids, n, dims, pitches, origins.reshape(-1),
+            g_t.reshape(n, -1), g_n.reshape(n, -1), g_e.reshape(n, -1),
         )
         return g_t, g_n, g_e
 

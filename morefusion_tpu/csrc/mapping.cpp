@@ -310,6 +310,63 @@ int mfm_get_target_grids(void* h, int target_id, const int64_t dims[3],
   return 0;
 }
 
+// Batched grid extraction: one call for all live instances per frame.
+// Each target n gets its own pitch/origin (class-specific voxel pitch,
+// per-instance origin from the observed cloud). Equivalent to calling
+// mfm_get_target_grids n_targets times but with one host call and the
+// per-voxel world coordinates hoisted out of the per-map loop — the
+// serving pipeline previously made ~2 extraction calls per instance per
+// frame (no-entry grids for the pose CNN + target/no-entry pair for ICC;
+// reference publishes both from one pass, OctomapServer.cpp:457-620).
+int mfm_get_target_grids_batch(void* h, const int* target_ids,
+                               int64_t n_targets, const int64_t dims[3],
+                               const double* pitches, const double* origins,
+                               float* grid_target, float* grid_nontarget,
+                               float* grid_empty) {
+  auto* m = (MultiMap*)h;
+  int64_t X = dims[0], Y = dims[1], Z = dims[2];
+  int64_t V = X * Y * Z;
+  std::memset(grid_target, 0, sizeof(float) * V * n_targets);
+  std::memset(grid_nontarget, 0, sizeof(float) * V * n_targets);
+  std::memset(grid_empty, 0, sizeof(float) * V * n_targets);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t n = 0; n < n_targets; ++n) {
+    const int target_id = target_ids[n];
+    const double pitch = pitches[n];
+    const double* origin = origins + 3 * n;
+    float* g_t = grid_target + V * n;
+    float* g_n = grid_nontarget + V * n;
+    float* g_e = grid_empty + V * n;
+    for (auto& kv : m->maps) {
+      const bool is_target = (kv.first == target_id);
+      const VoxelMap& vm = kv.second;
+      for (int64_t v = 0; v < V; ++v) {
+        int64_t i = v / (Y * Z), j = (v / Z) % Y, k = v % Z;
+        double x = origin[0] + i * pitch;
+        double y = origin[1] + j * pitch;
+        double z = origin[2] + k * pitch;
+        float lo = vm.query(x, y, z);
+        if (std::isnan(lo)) continue;
+        float p = prob_of(lo);
+        if (p >= 0.5f) {
+          if (is_target) {
+            if (p > g_t[v]) g_t[v] = p;
+          } else {
+            if (p > g_n[v]) g_n[v] = p;
+          }
+        } else {
+          float e = 1.0f - p;
+          if (e > g_e[v]) g_e[v] = e;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 // Extract occupied / empty voxel-center clouds of one instance.
 int64_t mfm_extract_points(void* h, int instance_id, int occupied,
                            double* out, int64_t max_n) {

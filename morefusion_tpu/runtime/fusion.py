@@ -135,6 +135,27 @@ class OccupancyFusion:
             instance_id, dimensions=dims, pitch=pitch, origin=origin
         )
 
+    def get_grids_batch(self, instance_ids, pitches, origins):
+        """(N, V, V, V) target/nontarget/empty grids for several instances
+        in one native call (one extraction per frame instead of ~2 per
+        instance: the pose CNN's no-entry grids and ICC's target/no-entry
+        pair both derive from this one result)."""
+        dims = (self._voxel_dim,) * 3
+        if hasattr(self._mapping, "get_target_grids_batch"):
+            return self._mapping.get_target_grids_batch(
+                instance_ids, dimensions=dims, pitches=pitches,
+                origins=origins,
+            )
+        outs = [
+            self._mapping.get_target_grids(
+                ins_id, dimensions=dims, pitch=pitch, origin=origin
+            )
+            for ins_id, pitch, origin in zip(
+                instance_ids, pitches, origins
+            )
+        ]
+        return tuple(np.stack(g) for g in zip(*outs))
+
     def get_noentry_grid(
         self, instance_id: int, pitch: float, origin
     ) -> np.ndarray:

@@ -100,25 +100,42 @@ class ScenePipeline:
         )
         inst_to_class = self.fusion.instance_to_class
 
-        # 3) no-entry grids per live instance (in the camera frame we keep
-        # grids in world frame: origin from each instance's observed cloud)
+        # 3) all live instances' grids in ONE native extraction (origin
+        # from each instance's observed cloud, class-specific pitch); the
+        # pose CNN's no-entry grids and ICC's target/no-entry pair are
+        # both sliced from this result, quantized to uint8 occupancy for
+        # the device transfers (round 1 re-extracted per stage: ~2 native
+        # calls per instance per frame)
         noentry = {}
         grid_meta = {}
+        grid_cache = {}
+        finite = ~np.isnan(pcd_world).any(axis=2)
+        live = []
         for ins_id, class_id in inst_to_class.items():
-            mask = label == ins_id
+            mask = (label == ins_id) & finite
             if not mask.any():
                 continue
-            pts = pcd_world[mask & ~np.isnan(pcd_world).any(axis=2)]
-            if len(pts) == 0:
-                continue
+            pts = pcd_world[mask]
             pitch = self._models.get_voxel_pitch(self._voxel_dim, class_id)
             center = np.median(pts, axis=0)
             origin = center - pitch * (self._voxel_dim / 2.0 - 0.5)
-            noentry_world = self.fusion.get_noentry_grid(
-                ins_id, pitch, origin
+            live.append((ins_id, pitch, origin))
+        if live:
+            ids_l = [x[0] for x in live]
+            pitch_l = [x[1] for x in live]
+            origin_l = np.stack([x[2] for x in live])
+            g_t, g_n, g_e = self.fusion.get_grids_batch(
+                ids_l, pitch_l, origin_l
             )
-            noentry[ins_id] = noentry_world
-            grid_meta[ins_id] = (pitch, origin)
+            to_u8 = lambda g: (  # noqa: E731
+                np.clip(g, 0.0, 1.0) * 255.0
+            ).round().astype(np.uint8)
+            g_t_u8 = to_u8(g_t)
+            gne_u8 = to_u8(np.maximum(g_n, g_e))
+            for k, ins_id in enumerate(ids_l):
+                noentry[ins_id] = gne_u8[k]
+                grid_meta[ins_id] = (pitch_l[k], origin_l[k])
+                grid_cache[ins_id] = (g_t_u8[k], gne_u8[k])
 
         # 4) pose prediction (camera frame)
         poses = self.pose_node.estimate(
@@ -149,9 +166,9 @@ class ScenePipeline:
                 pitch_l.append(pitch)
                 origin_l.append(origin)
                 Ts.append(track.pose)
-                gt, gn, ge = self.fusion.get_grids(ins_id, pitch, origin)
-                g_t.append(gt)
-                g_ne.append(np.maximum(gn, ge))
+                gt_u8, gne_u8 = grid_cache[ins_id]
+                g_t.append(gt_u8)
+                g_ne.append(gne_u8)
             icc = IterativeCollisionCheck(
                 Ts, pts_l, sdf_l, pitch_l, origin_l,
                 np.stack(g_t), np.stack(g_ne),

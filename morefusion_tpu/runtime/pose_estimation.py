@@ -13,12 +13,88 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..contrib.icp import ICPRegistration
 from ..extra.image import centerize
 from ..functions import transformation_matrix
 from ..geometry.bbox import masks_to_bboxes
+
+
+def _crop_instance_device(
+    rgb_frame, pcd_frame, label, ins_id, bbox, image_size: int
+):
+    """Device-side equivalent of the host mask+crop+centerize preprocessing.
+
+    Reproduces the reference node's per-instance steps
+    (``singleview_3d_pose_estimation.py:158-241``): mask the frame to the
+    instance, crop its bbox, aspect-preserving resize to ``image_size``²
+    with center padding (cv2 conventions: INTER_LINEAR for rgb, whose
+    off-mask pixels are zeroed first; INTER_NEAREST for the NaN-holed
+    cloud). Runs inside the pose jit so the host ships one full frame
+    instead of per-instance float32 crops (~4x fewer bytes through the
+    host->device link, and no per-instance host work).
+    """
+    S = image_size
+    rgb_frame = jnp.asarray(rgb_frame)
+    pcd_frame = jnp.asarray(pcd_frame)
+    label = jnp.asarray(label)
+    y1, x1, y2, x2 = bbox[0], bbox[1], bbox[2], bbox[3]
+    Hb = (y2 - y1).astype(jnp.float32)
+    Wb = (x2 - x1).astype(jnp.float32)
+    scale = jnp.minimum(S / Hb, S / Wb)
+    h = jnp.clip(jnp.round(Hb * scale), 1, S).astype(jnp.int32)
+    w = jnp.clip(jnp.round(Wb * scale), 1, S).astype(jnp.int32)
+    y0 = (S - h) // 2
+    x0 = (S - w) // 2
+
+    ys = jnp.arange(S)
+    xs = jnp.arange(S)
+    vy = (ys >= y0) & (ys < y0 + h)
+    vx = (xs >= x0) & (xs < x0 + w)
+    valid = vy[:, None] & vx[None, :]
+
+    # nearest (cv2 INTER_NEAREST): src = floor(dst * src/dst), clamped to
+    # the bbox (cv2 resizes the cropped subimage, so borders clamp to it)
+    sy = y1 + jnp.floor((ys - y0) * (Hb / h)).astype(jnp.int32)
+    sx = x1 + jnp.floor((xs - x0) * (Wb / w)).astype(jnp.int32)
+    sy = jnp.clip(sy, y1, y2 - 1)
+    sx = jnp.clip(sx, x1, x2 - 1)
+    lab_n = label[sy[:, None], sx[None, :]]
+    mask = (lab_n == ins_id) & valid
+    pcd_c = pcd_frame[sy[:, None], sx[None, :]]
+    pcd_c = jnp.where(mask[..., None], pcd_c, jnp.nan)
+
+    # bilinear rgb (cv2 INTER_LINEAR): fsrc = (dst+0.5)*src/dst - 0.5;
+    # each corner contributes 0 where it falls off the instance mask
+    # (host path zeroes rgb outside the mask before resizing)
+    fy = (ys.astype(jnp.float32) - y0 + 0.5) * (Hb / h) - 0.5
+    fx = (xs.astype(jnp.float32) - x0 + 0.5) * (Wb / w) - 0.5
+    fy = jnp.clip(fy, 0.0, Hb - 1.0) + y1
+    fx = jnp.clip(fx, 0.0, Wb - 1.0) + x1
+    fy0 = jnp.floor(fy)
+    fx0 = jnp.floor(fx)
+    wy = (fy - fy0)[:, None]
+    wx = (fx - fx0)[None, :]
+    iy0 = fy0.astype(jnp.int32)
+    ix0 = fx0.astype(jnp.int32)
+    iy1 = jnp.minimum(iy0 + 1, y2 - 1)
+    ix1 = jnp.minimum(ix0 + 1, x2 - 1)
+
+    def corner(iy, ix):
+        r = rgb_frame[iy[:, None], ix[None, :]].astype(jnp.float32)
+        m = label[iy[:, None], ix[None, :]] == ins_id
+        return r * m[..., None]
+
+    rgb_c = (
+        corner(iy0, ix0) * ((1 - wy) * (1 - wx))[..., None]
+        + corner(iy0, ix1) * ((1 - wy) * wx)[..., None]
+        + corner(iy1, ix0) * (wy * (1 - wx))[..., None]
+        + corner(iy1, ix1) * (wy * wx)[..., None]
+    )
+    rgb_c = rgb_c * valid[..., None]
+    return rgb_c, pcd_c
 
 
 class PoseEstimationNode:
@@ -38,16 +114,13 @@ class PoseEstimationNode:
         self._voxel_dim = voxel_dim
         self._with_icp = with_icp
 
-        def predict(params, **kw):
+        def readout(quat, trans, conf):
             # best-confidence pose selection + 4x4 assembly fused into the
             # forward graph: the node previously read back the full
             # (B, P, 4/3/1) towers and built each T with an *eager*
             # transformation_matrix per instance — 2N extra host<->device
             # round trips per frame through the relay (VERDICT round 1:
             # ~10 calls/frame at 40-90 ms each)
-            import jax.numpy as jnp
-
-            quat, trans, conf = model.apply(params, **kw)
             best = jnp.argmax(conf, axis=1)
             qb = jnp.take_along_axis(
                 quat, best[:, None, None], axis=1
@@ -58,7 +131,36 @@ class PoseEstimationNode:
             T = jax.vmap(transformation_matrix)(qb, tb)
             return T, jnp.max(conf, axis=1)
 
+        def predict(params, **kw):
+            return readout(*model.apply(params, **kw))
+
         self._predict = jax.jit(predict)
+
+        def predict_frame(
+            params, rgb_frame, pcd_frame, label, ins_ids, bboxes,
+            class_ids, pitches, grids_u8,
+        ):
+            # the whole per-frame pose stage as ONE device program:
+            # per-instance mask+crop+centerize (see _crop_instance_device),
+            # the volumetric forward, and the best-confidence pose
+            # readout. Host ships one uint8 rgb frame + one float32 cloud
+            # + the int32 label image + per-instance scalars; noentry
+            # grids ride as uint8/255 (quantized occupancy probabilities).
+            rgb_c, pcd_c = jax.vmap(
+                lambda i, b: _crop_instance_device(
+                    rgb_frame, pcd_frame, label, i, b, image_size
+                )
+            )(ins_ids, bboxes)
+            kw = dict(
+                class_id=class_ids, rgb=rgb_c, pcd=pcd_c, pitch=pitches
+            )
+            if getattr(model, "with_occupancy", False):
+                kw["grid_nontarget_empty"] = (
+                    grids_u8.astype(jnp.float32) / 255.0
+                )
+            return readout(*model.apply(params, **kw))
+
+        self._predict_frame = jax.jit(predict_frame)
 
     def _crop_instance(self, rgb, pcd, mask):
         bbox = masks_to_bboxes(mask)
@@ -89,29 +191,33 @@ class PoseEstimationNode:
         noentry_grids: Optional[Dict[int, np.ndarray]] = None,
     ) -> Dict[int, dict]:
         """Returns {instance_id: {'T_cad2cam', 'class_id', 'confidence'}}."""
-        ids, rgbs, pcds, class_ids, pitches, grids = [], [], [], [], [], []
+        finite = ~np.isnan(pcd).any(axis=2)
+        ids, bboxes, class_ids, pitches, grids = [], [], [], [], []
         for ins_id, class_id in instance_to_class.items():
             mask = instance_label == ins_id
-            if not mask.any():
+            if not (mask & finite).any():
                 continue
-            crop = self._crop_instance(rgb, pcd, mask)
-            if crop is None:
-                continue
-            valid = ~np.isnan(crop[1]).any(axis=2)
-            if valid.sum() < 1:
+            y1, x1, y2, x2 = (
+                masks_to_bboxes(mask).round().astype(int)
+            )
+            if (y2 - y1) * (x2 - x1) == 0:
                 continue
             ids.append(ins_id)
-            rgbs.append(crop[0])
-            pcds.append(crop[1])
+            bboxes.append((y1, x1, y2, x2))
             class_ids.append(class_id)
             pitches.append(
                 self._models.get_voxel_pitch(self._voxel_dim, class_id)
             )
             if noentry_grids is not None and ins_id in noentry_grids:
-                grids.append(noentry_grids[ins_id])
+                g = noentry_grids[ins_id]
+                if g.dtype != np.uint8:
+                    g = (
+                        np.clip(g, 0.0, 1.0) * 255.0
+                    ).round().astype(np.uint8)
+                grids.append(g)
             else:
                 grids.append(
-                    np.zeros((self._voxel_dim,) * 3, np.float32)
+                    np.zeros((self._voxel_dim,) * 3, np.uint8)
                 )
 
         if not ids:
@@ -125,17 +231,19 @@ class PoseEstimationNode:
         pad = [0] * (Bp - B)
         take = list(range(B)) + pad
 
-        batch = dict(
-            class_id=np.asarray(class_ids, np.int32)[take],
-            rgb=np.stack(rgbs).astype(np.float32)[take],
-            pcd=np.stack(pcds).astype(np.float32)[take],
-            pitch=np.asarray(pitches, np.float32)[take],
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+        out = self._predict_frame(
+            self._params,
+            rgb,
+            pcd.astype(np.float32, copy=False),
+            instance_label.astype(np.int32, copy=False),
+            np.asarray(ids, np.int32)[take],
+            np.asarray(bboxes, np.int32)[take],
+            np.asarray(class_ids, np.int32)[take],
+            np.asarray(pitches, np.float32)[take],
+            np.stack(grids)[take],
         )
-        if getattr(self._model, "with_occupancy", False):
-            batch["grid_nontarget_empty"] = np.stack(grids).astype(
-                np.float32
-            )[take]
-        out = self._predict(self._params, **batch)
         # one device->host transfer for both outputs (each separate
         # np.asarray is a full round trip)
         Ts, confs = jax.device_get(out)
