@@ -105,8 +105,10 @@ def bench_pipeline(args):
         grid_nontarget_empty=np.zeros((1, 32, 32, 32), np.float32),
     )
     pipe = runtime.ScenePipeline(
-        model, params, models_bank, native_mapping=True, size_filter=False
+        model, params, models_bank, native_mapping=True, size_filter=False,
+        async_refine=True,
     )
+    pipe.warmup()
 
     def run(frame):
         inst_to_class = {
@@ -137,6 +139,7 @@ def bench_pipeline(args):
     for k in range(args.iters):
         out = run(frames[k % len(frames)])
         n += len(out)
+    pipe.flush_refine()
     dt = (time.perf_counter() - t0) / args.iters
     print(
         json.dumps(

@@ -361,8 +361,19 @@ class IterativeCollisionCheck:
         self._sdf_offset = sdf_offset
         self._cross_mode = cross_mode
 
-    def refine(self, iterations: int = 30, alpha: float = 0.01):
-        out = refine_collision(
+    def refine_async(self, iterations: int = 30, alpha: float = 0.01):
+        """Dispatch the refinement without blocking on the result.
+
+        Returns immediately after enqueueing the compiled program; call
+        :meth:`resolve` to read the result back. This mirrors the
+        reference's node graph, where collision refinement is its own ROS
+        node consuming the pose stream asynchronously
+        (``collision_based_pose_refinement.py:108-211``) — the serving
+        pipeline overlaps the refine of frame k with the host work of
+        frame k+1 and only pays the device->host round trip once the
+        result is actually needed.
+        """
+        self._pending = refine_collision(
             self._q,
             self._t,
             self._points,
@@ -380,12 +391,47 @@ class IterativeCollisionCheck:
             alpha=alpha,
             cross_mode=self._cross_mode,
         )
+
+    def resolve(self):
+        """Block on the pending :meth:`refine_async` dispatch."""
         # single device->host transfer for the whole result tuple (each
         # separate np.asarray is its own round trip)
-        q, t, losses, n_iter = jax.device_get(out)
+        q, t, losses, n_iter = jax.device_get(self._pending)
+        self._pending = None
         self._q = np.asarray(q)
         self._t = np.asarray(t)
         return self.transforms, np.asarray(losses), int(n_iter)
+
+    def refine(self, iterations: int = 30, alpha: float = 0.01):
+        self.refine_async(iterations=iterations, alpha=alpha)
+        return self.resolve()
+
+    @staticmethod
+    def warmup_buckets(
+        n_objects=(1, 2, 4, 8),
+        voxel_dim: int = 32,
+        max_points: int = 2048,
+        iterations: int = 30,
+        cross_mode: str = "resample",
+    ):
+        """Precompile the refine program for the given object-count
+        buckets (serving: the first frame whose live-object count lands in
+        a new power-of-two bucket otherwise pays a multi-second XLA
+        compile in the frame loop)."""
+        for n in n_objects:
+            icc = IterativeCollisionCheck(
+                [np.eye(4, dtype=np.float32)] * n,
+                [np.zeros((8, 3), np.float32)] * n,
+                [np.zeros((8,), np.float32)] * n,
+                [0.01] * n,
+                [np.zeros(3, np.float32)] * n,
+                np.zeros((n, voxel_dim, voxel_dim, voxel_dim), np.uint8),
+                np.zeros((n, voxel_dim, voxel_dim, voxel_dim), np.uint8),
+                voxel_dim=voxel_dim,
+                max_points=max_points,
+                cross_mode=cross_mode,
+            )
+            icc.refine(iterations=iterations)
 
     @property
     def transforms(self):

@@ -22,8 +22,20 @@ class ObjectTrack:
     _add_threshold = 0.02
     _adds_threshold = 0.01
 
+    # agreement voting needs ~cm accuracy, not the full CAD cloud: ADD is
+    # a mean over points, so a fixed 500-point subsample (the reference
+    # loss's CAD sample size, model.py:416-434) changes the vote decision
+    # negligibly and keeps the per-frame host cost flat in cloud size
+    _n_vote_points = 500
+
     def __init__(self, class_id, pcd, is_symmetric, n_votes: int = 3):
         self.class_id = class_id
+        pcd = np.asarray(pcd)
+        if len(pcd) > self._n_vote_points:
+            keep = np.random.RandomState(0).permutation(len(pcd))[
+                : self._n_vote_points
+            ]
+            pcd = pcd[keep]
         self._pcd = pcd
         self._is_symmetric = is_symmetric
         self._n_votes = n_votes

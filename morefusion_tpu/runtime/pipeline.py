@@ -35,6 +35,7 @@ class ScenePipeline:
         n_votes: int = 3,
         native_mapping: bool = True,
         size_filter: bool = True,
+        async_refine: bool = False,
     ):
         self._models = models
         self._segmenter = segmenter
@@ -47,6 +48,15 @@ class ScenePipeline:
             model, params, models, voxel_dim=voxel_dim, with_icp=with_icp
         )
         self._n_votes = n_votes
+        # async_refine mirrors the reference's node graph (collision
+        # refinement is its own ROS node consuming the pose stream): the
+        # ICC program for frame k is dispatched without blocking and its
+        # result is read back at frame k+1 (or flush()) — the device
+        # refines while the host works on the next frame, cutting the
+        # refine round trip out of the frame critical path.
+        self._async_refine = async_refine
+        self._pending_refine = None  # (icc, [instance ids])
+        self.last_refined: Dict[int, np.ndarray] = {}
         self.object_mapping = ObjectMapping(
             models, class_ids_symmetric, n_votes=n_votes
         )
@@ -58,6 +68,25 @@ class ScenePipeline:
             self._models, class_ids_symmetric, n_votes=self._n_votes
         )
         self.last_poses = {}
+        self._pending_refine = None
+        self.last_refined = {}
+
+    def warmup(self, n_objects=(1, 2, 4, 8)):
+        """Precompile the joint-refinement program for the common live-
+        object-count buckets so no frame in the serving loop pays a cold
+        XLA compile."""
+        IterativeCollisionCheck.warmup_buckets(
+            n_objects, voxel_dim=self._voxel_dim, max_points=2048
+        )
+
+    def flush_refine(self) -> Dict[int, np.ndarray]:
+        """Resolve a pending async refinement; returns {id: T_cad2world}."""
+        if self._pending_refine is not None:
+            icc, ids = self._pending_refine
+            self._pending_refine = None
+            refined, _, _ = icc.resolve()
+            self.last_refined = dict(zip(ids, refined))
+        return self.last_refined
 
     def process_frame(
         self,
@@ -150,7 +179,14 @@ class ScenePipeline:
                 ins_id, res["class_id"], T_cad2world
             )
 
-        # 6) joint collision refinement of spawned objects
+        # 6) joint collision refinement of spawned objects; in async mode
+        # the previous frame's dispatch is resolved here (its result is
+        # ~1 frame stale, like the reference's decoupled refinement node)
+        # and this frame's refine is dispatched without blocking.
+        if self._async_refine:
+            for ins_id, T in self.flush_refine().items():
+                if ins_id in poses:
+                    poses[ins_id]["T_cad2world_refined"] = T
         spawned = self.object_mapping.spawned
         refine_ids = [i for i in spawned if i in grid_meta]
         if refine and len(refine_ids) >= 1:
@@ -174,10 +210,14 @@ class ScenePipeline:
                 np.stack(g_t), np.stack(g_ne),
                 voxel_dim=self._voxel_dim, max_points=2048,
             )
-            refined, _, _ = icc.refine(iterations=30)
-            for ins_id, T in zip(refine_ids, refined):
-                if ins_id in poses:
-                    poses[ins_id]["T_cad2world_refined"] = T
+            if self._async_refine:
+                icc.refine_async(iterations=30)
+                self._pending_refine = (icc, list(refine_ids))
+            else:
+                refined, _, _ = icc.refine(iterations=30)
+                for ins_id, T in zip(refine_ids, refined):
+                    if ins_id in poses:
+                        poses[ins_id]["T_cad2world_refined"] = T
 
         self.last_poses = poses
         return poses
