@@ -104,13 +104,55 @@ def bench_pipeline(args):
         pitch=np.ones(1, np.float32) * 0.01,
         grid_nontarget_empty=np.zeros((1, 32, 32, 32), np.float32),
     )
+    segmenter = None
+    if args.segmenter:
+        # trained UNet instance segmentation instead of GT labels — the
+        # full detector->fusion->pose->refine serve path
+        import optax
+
+        from morefusion_tpu import training
+        from morefusion_tpu.models.segmentation import (
+            SegmentationNode,
+            UNetSegmentation,
+        )
+        from morefusion_tpu.training.trainer import TrainState
+
+        seg_args = training.load_args(args.segmenter)
+        seg_model = UNetSegmentation(
+            n_class=22,
+            widths=tuple(seg_args.get("widths", (32, 64, 128, 256))),
+            with_boundary=not seg_args.get("no_boundary", False),
+        )
+        seg_rng = np.random.RandomState(0)
+        seg_params = jax.jit(seg_model.init)(
+            jax.random.PRNGKey(seg_args.get("seed", 0)),
+            seg_rng.rand(1, 240, 320, 3).astype(np.float32),
+        )
+        seg_state = TrainState.create(
+            apply_fn=seg_model.apply, params=seg_params,
+            tx=optax.adam(seg_args.get("lr", 1e-3)),
+        )
+        mgr = training.CheckpointManager(args.segmenter)
+        restored = mgr.restore_latest(seg_state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.segmenter}")
+        segmenter = SegmentationNode(seg_model, restored.params)
+
     pipe = runtime.ScenePipeline(
-        model, params, models_bank, native_mapping=True, size_filter=False,
-        async_refine=True,
+        model, params, models_bank, segmenter=segmenter,
+        native_mapping=True, size_filter=False, async_refine=True,
     )
     pipe.warmup()
 
     def run(frame):
+        if segmenter is not None:
+            return pipe.process_frame(
+                frame["rgb"].astype(np.float32),
+                frame["depth"],
+                frame["intrinsic_matrix"],
+                frame["T_cam2world"],
+                refine=True,
+            )
         inst_to_class = {
             int(i): int(frame["class_ids"][k])
             for k, i in enumerate(frame["instance_ids"])
@@ -164,6 +206,11 @@ def main():
         "--metric", default="fps", choices=["fps", "icc", "pipeline"],
         help="headline metric (fps), refinement throughput (icc), or "
         "full scene-pipeline FPS (pipeline)",
+    )
+    parser.add_argument(
+        "--segmenter", default=None,
+        help="(pipeline metric) UNet checkpoint dir: run the pipeline "
+        "with predicted instance masks instead of GT labels",
     )
     parser.add_argument(
         "--fp32", action="store_true",

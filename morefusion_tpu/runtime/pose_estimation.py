@@ -10,14 +10,13 @@ observed depth points.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..contrib.icp import ICPRegistration
-from ..extra.image import centerize
 from ..functions import transformation_matrix
 from ..geometry.bbox import masks_to_bboxes
 
@@ -131,11 +130,6 @@ class PoseEstimationNode:
             T = jax.vmap(transformation_matrix)(qb, tb)
             return T, jnp.max(conf, axis=1)
 
-        def predict(params, **kw):
-            return readout(*model.apply(params, **kw))
-
-        self._predict = jax.jit(predict)
-
         def predict_frame(
             params, rgb_frame, pcd_frame, label, ins_ids, bboxes,
             class_ids, pitches, grids_u8,
@@ -161,26 +155,6 @@ class PoseEstimationNode:
             return readout(*model.apply(params, **kw))
 
         self._predict_frame = jax.jit(predict_frame)
-
-    def _crop_instance(self, rgb, pcd, mask):
-        bbox = masks_to_bboxes(mask)
-        y1, x1, y2, x2 = bbox.round().astype(int)
-        if (y2 - y1) * (x2 - x1) == 0:
-            return None
-        pcd_ins = pcd.copy()
-        pcd_ins[~mask] = np.nan
-        pcd_ins = centerize(
-            pcd_ins[y1:y2, x1:x2],
-            (self._image_size, self._image_size),
-            cval=np.nan,
-            interpolation="nearest",
-        )
-        rgb_ins = rgb.copy()
-        rgb_ins[~mask] = 0
-        rgb_ins = centerize(
-            rgb_ins[y1:y2, x1:x2], (self._image_size, self._image_size)
-        )
-        return rgb_ins, pcd_ins
 
     def estimate(
         self,

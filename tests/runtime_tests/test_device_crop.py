@@ -2,7 +2,7 @@
 
 The serving pipeline fuses per-instance mask+crop+centerize into the pose
 jit (``runtime/pose_estimation.py::_crop_instance_device``); the host twin
-(``PoseEstimationNode._crop_instance``, matching the reference node's
+below (cv2 mask+crop+centerize, matching the reference node's
 ``singleview_3d_pose_estimation.py:158-241`` preprocessing) is the oracle.
 """
 
