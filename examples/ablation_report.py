@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Occupancy-ablation report: the reference's core claim, on our data.
+
+Reference scoreboard (``docs/index.html:200-203``): on Cluttered-YCB the
+occupancy-aware model beats the occupancy-free one, and improves further
+as the occupancy grids get more complete (noisy maps -> full nontarget
+CAD grids -> full grids incl. background). This script assembles the same
+4-row table from our runs:
+
+- MF-occ:       train/eval without the occupancy branch
+  (``examples/train.py --loss add/add_s``)
+- MF:           occupancy model, observed (mapped, noisy) grids at eval
+- MF+target-:   occupancy model, full nontarget CAD grids at eval
+- MF+target-+bg: occupancy model, ``~grid_target_full`` at eval
+
+Usage::
+
+  python examples/ablation_report.py --runs /root/runs
+"""
+
+import argparse
+import json
+import os
+
+ROWS = (
+    ("MF-occ (no occupancy)", "eval_noocc.json", "morefusion"),
+    ("MF (observed grids)", "eval_occ_observed.json", "morefusion"),
+    ("MF+target- (full nontarget)", "eval_occ_nontarget_full.json",
+     "morefusion"),
+    ("MF+target-+bg (full grids)", "eval_occ_full_bg.json", "morefusion"),
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--runs", required=True, help="dir with eval jsons")
+    args = parser.parse_args()
+
+    print("| Variant | ADD(-S) AUC | ADD-S AUC | ADD(-S) <2cm |")
+    print("|---|---|---|---|")
+    for name, fname, method in ROWS:
+        path = os.path.join(args.runs, fname)
+        if not os.path.exists(path):
+            print(f"| {name} | (missing: {fname}) | | |")
+            continue
+        with open(path) as f:
+            s = json.load(f)[method]
+        print(
+            f"| {name} | {s['main/add_or_add_s/auc']:.4f} "
+            f"| {s['main/add_s/auc']:.4f} "
+            f"| {s['main/add_or_add_s/<2cm']:.4f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,9 +76,12 @@ def main():
             if datasets.is_packed(path):
                 # packed memmap store: host does only the mask-truncation
                 # augmentation; photometric/noise augmentation runs on
-                # device (training/augment_device.py)
+                # device (training/augment_device.py), and the batch
+                # ships as ONE fp16-z packed buffer (training/transfer.py)
+                if not datasets.has_transfer_arrays(path):
+                    datasets.derive_transfer_arrays(path)
                 return datasets.PackedPoseDataset(
-                    path, split="train", augmentation=True
+                    path, split="train", augmentation=True, transfer=True
                 )
             return datasets.RGBDPoseEstimationDatasetReIndexed(
                 path, split="train", augmentation=True

@@ -15,6 +15,8 @@ from .rgbd_pose_estimation.reindex import reindex
 from .rgbd_pose_estimation.reindexed import RGBDPoseEstimationDatasetReIndexed
 from .rgbd_pose_estimation.reindexed import RandomSamplingDataset
 from .packed import PackedPoseDataset
+from .packed import derive_transfer_arrays
+from .packed import has_transfer_arrays
 from .packed import is_packed
 from .packed import pack_reindexed
 from . import ycb_video

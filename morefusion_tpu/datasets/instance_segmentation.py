@@ -57,6 +57,7 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
         n_objects=(3, 6),
         background_composite: bool = True,
         background_dir=None,
+        cache: bool = True,
     ):
         assert format in ("class_label", "masks", "instance")
         self._format = format
@@ -76,9 +77,18 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
         )
         self._split = split
         self._ids = list(range(n_frames))
+        # scene synthesis is ~1 s/frame on one host core; epochs >1 would
+        # regenerate identical frames (deterministic per index), so keep
+        # them. Background compositing stays per-call (fresh texture draw).
+        self._cache = {} if cache else None
 
     def get_example(self, index):
-        frame = self._frames.get_frame(index)
+        if self._cache is not None and index in self._cache:
+            frame = self._cache[index]
+        else:
+            frame = self._frames.get_frame(index)
+            if self._cache is not None:
+                self._cache[index] = frame
         if self._composite is not None:
             frame = dict(
                 frame,

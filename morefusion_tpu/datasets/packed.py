@@ -124,6 +124,42 @@ def is_packed(root_dir: str) -> bool:
     return os.path.exists(os.path.join(root_dir, "scalars.npz"))
 
 
+def has_transfer_arrays(root_dir: str) -> bool:
+    return os.path.exists(os.path.join(root_dir, "z16.npy")) and os.path.exists(
+        os.path.join(root_dir, "pcd_coef.npy")
+    )
+
+
+def derive_transfer_arrays(root_dir: str, chunk: int = 256, progress=True):
+    """Derive the single-buffer transfer representation of the pcd.
+
+    Writes ``z16.npy`` (N, H, W) float16 and ``pcd_coef.npy`` (N, 4)
+    float32 next to the packed arrays; training then ships fp16 depth +
+    per-example affine coefficients instead of 12 MB/batch of fp32 xyz
+    and reconstructs the organized cloud on device
+    (``training/transfer.py``). One pass over pcd.npy, ~constant memory.
+    """
+    from ..training.transfer import fit_pcd_coefs
+
+    pcd = np.load(os.path.join(root_dir, "pcd.npy"), mmap_mode="r")
+    n, H, W = pcd.shape[:3]
+    z16 = np.lib.format.open_memmap(
+        os.path.join(root_dir, "z16.npy"), mode="w+", dtype=np.float16,
+        shape=(n, H, W),
+    )
+    coef = np.zeros((n, 4), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = np.asarray(pcd[lo:hi])
+        z16[lo:hi] = block[..., 2]
+        coef[lo:hi] = fit_pcd_coefs(block)
+        if progress and (lo // chunk) % 8 == 0:
+            print(f"derive_transfer: {hi}/{n}")
+    z16.flush()
+    np.save(os.path.join(root_dir, "pcd_coef.npy"), coef)
+    return coef
+
+
 class PackedPoseDataset(DatasetBase):
     """Memmap-backed pose-estimation training set.
 
@@ -140,13 +176,20 @@ class PackedPoseDataset(DatasetBase):
         augmentation: bool = False,
         min_visibility: float = 0.0,
         seed: int = 0,
+        transfer: bool = False,
     ):
         if not is_packed(root_dir):
             raise IOError(f"{root_dir} is not a packed dataset")
+        if transfer and not has_transfer_arrays(root_dir):
+            raise IOError(
+                f"{root_dir} has no transfer arrays "
+                "(run derive_transfer_arrays first)"
+            )
         self._root_dir = root_dir
         self._split = split
         self._augmentation = augmentation
         self._rng = np.random.RandomState(seed)
+        self._transfer = transfer
 
         sc = np.load(os.path.join(root_dir, "scalars.npz"))
         self._scalars = {k: sc[k] for k in sc.files}
@@ -154,6 +197,12 @@ class PackedPoseDataset(DatasetBase):
             k: np.load(os.path.join(root_dir, f"{k}.npy"), mmap_mode="r")
             for k in ("rgb", "pcd") + _GRID_KEYS + ("grid_nontarget_full",)
         }
+        if transfer:
+            del self._mm["pcd"]  # z16 + coefs replace the fp32 cloud
+            self._mm["z"] = np.load(
+                os.path.join(root_dir, "z16.npy"), mmap_mode="r"
+            )
+            self._coef = np.load(os.path.join(root_dir, "pcd_coef.npy"))
 
         keep = self._scalars["visibility"] >= min_visibility
         if class_ids:
@@ -173,19 +222,40 @@ class PackedPoseDataset(DatasetBase):
             "pitch",
         ):
             batch[k] = self._scalars[k][idx]
+        if self._transfer:
+            batch["pcd_coef"] = self._coef[idx].copy()
         if self._augmentation:
-            from .rgbd_pose_estimation.augmentation import augment_mask
+            if self._transfer:
+                from .rgbd_pose_estimation.augmentation import augment_mask_z
 
-            rgbs, pcds = batch["rgb"], batch["pcd"]
-            for b in range(len(idx)):
-                rgbs[b], pcds[b] = augment_mask(
-                    rgbs[b], pcds[b], self._rng
+                rgbs, zs, coefs = (
+                    batch["rgb"], batch["z"], batch["pcd_coef"]
                 )
+                for b in range(len(idx)):
+                    rgbs[b], zs[b], coefs[b] = augment_mask_z(
+                        rgbs[b], zs[b], coefs[b], self._rng
+                    )
+            else:
+                from .rgbd_pose_estimation.augmentation import augment_mask
+
+                rgbs, pcds = batch["rgb"], batch["pcd"]
+                for b in range(len(idx)):
+                    rgbs[b], pcds[b] = augment_mask(
+                        rgbs[b], pcds[b], self._rng
+                    )
         return batch
 
     def get_example(self, index):
         batch = self.load_batch([index])
         ex = {k: v[0] for k, v in batch.items()}
+        if self._transfer:
+            # npz-loader contract wants the organized cloud
+            z = ex.pop("z").astype(np.float32)
+            a, b, c, d = ex.pop("pcd_coef")
+            H, W = z.shape
+            x = z * (a + b * np.arange(W, dtype=np.float32))
+            y = z * (c + d * np.arange(H, dtype=np.float32)[:, None])
+            ex["pcd"] = np.stack([x, y, z], axis=-1)
         ex["class_id"] = int(ex["class_id"])
         ex["pitch"] = np.float32(ex["pitch"])
         # npz-loader contract: float probability grids, int full grids

@@ -58,13 +58,9 @@ def augment_pcd(pcd: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     return out
 
 
-def augment_mask(rgb, pcd, rng: np.random.RandomState):
-    """Random mask truncation: bbox-edge shift + contour subset selection."""
-    H, W = rgb.shape[:2]
-    mask = ~np.isnan(pcd).any(axis=2)
-    if not mask.any():
-        return rgb, pcd
-
+def _truncate_mask(mask, rng: np.random.RandomState):
+    """Shared mask-truncation draw: bbox-edge shift + contour subset."""
+    H, W = mask.shape
     case = rng.choice(4)
     y1, x1, y2, x2 = masks_to_bboxes(mask[None])[0]
     if case == 0:
@@ -99,6 +95,16 @@ def augment_mask(rgb, pcd, rng: np.random.RandomState):
                 mask_contour, contours, int(ci), color=1, thickness=-1
             )
         mask = mask_contour.astype(bool)
+    return mask
+
+
+def augment_mask(rgb, pcd, rng: np.random.RandomState):
+    """Random mask truncation: bbox-edge shift + contour subset selection."""
+    H, W = rgb.shape[:2]
+    mask = ~np.isnan(pcd).any(axis=2)
+    if not mask.any():
+        return rgb, pcd
+    mask = _truncate_mask(mask, rng)
 
     rgb = rgb.copy()
     pcd = pcd.copy()
@@ -116,6 +122,52 @@ def augment_mask(rgb, pcd, rng: np.random.RandomState):
         pcd[y1:y2, x1:x2], (H, W), cval=np.nan, interpolation="nearest"
     )
     return rgb, pcd
+
+
+def augment_mask_z(rgb, z, coef, rng: np.random.RandomState):
+    """``augment_mask`` for the z + affine-coef transfer representation.
+
+    Same truncation/recenterize draw, applied to the fp16 depth image;
+    the per-example pcd reconstruction coefficients (x = z*(a + b*j),
+    y = z*(c + d*i), see ``training/transfer.py``) are updated
+    analytically for the recenterize remap (out pixel j' samples source
+    column j = x1 + (j' - x0)/s), so the device-side reconstruction stays
+    consistent with the augmented crop.
+    """
+    H, W = z.shape
+    z_dtype = z.dtype
+    mask = np.isfinite(z)
+    if not mask.any():
+        return rgb, z, coef
+    mask = _truncate_mask(mask, rng)
+
+    rgb = rgb.copy()
+    z = z.astype(np.float32)  # cv2 has no fp16 path
+    rgb[~mask] = 0
+    z[~mask] = np.nan
+
+    if not mask.any():
+        return rgb, z.astype(z_dtype), coef
+    bbox = masks_to_bboxes(mask[None])[0]
+    y1, x1, y2, x2 = bbox.round().astype(int)
+    ch, cw = y2 - y1, x2 - x1
+    if ch * cw == 0:
+        return rgb, z.astype(z_dtype), coef
+    rgb = centerize(rgb[y1:y2, x1:x2], (H, W))
+    z = centerize(
+        z[y1:y2, x1:x2], (H, W), cval=np.nan, interpolation="nearest"
+    )
+    # mirror centerize's placement math (extra/image.py:31-44)
+    s = min(H / ch, W / cw)
+    h, w = max(1, int(round(ch * s))), max(1, int(round(cw * s)))
+    y0, x0 = (H - h) // 2, (W - w) // 2
+    sw, sh = w / cw, h / ch  # effective (post-rounding) per-axis scales
+    a, b, c, d = [float(v) for v in coef]
+    coef = np.array(
+        [a + b * (x1 - x0 / sw), b / sw, c + d * (y1 - y0 / sh), d / sh],
+        np.float32,
+    )
+    return rgb, z.astype(z_dtype), coef
 
 
 def augment_rgbd(rgb, pcd, rng: np.random.RandomState):

@@ -109,6 +109,7 @@ def make_train_step(
     lambda_confidence: float = 0.015,
     axis_name: Optional[str] = None,
     augment: bool = False,
+    transfer_schema=None,
 ):
     """Build the jittable train step.
 
@@ -190,6 +191,17 @@ def make_train_step(
         if axis_name is not None:
             # decorrelate per-device sampling/dropout
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        if transfer_schema is not None:
+            # batch arrives as ONE (b, K) uint8 buffer (the 24 MB/s relay
+            # link makes per-field device_puts the step bottleneck —
+            # training/transfer.py); unpack + rebuild the organized cloud
+            # from fp16 z and the per-example affine coefficients.
+            from . import transfer as transfer_module
+
+            batch = transfer_schema.unpack(batch)
+            batch["pcd"] = transfer_module.reconstruct_pcd(
+                batch.pop("z"), batch.pop("pcd_coef")
+            )
         batch = dict(batch, use_symmetric=use_symmetric)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, batch, rng)
