@@ -45,6 +45,14 @@ def main():
         "--loss", default="add/add_s",
         choices=["add", "add/add_s", "add+occupancy", "add/add_s+occupancy"],
     )
+    parser.add_argument(
+        "--min-visibility", type=float, default=0.8,
+        help="drop train crops below this visibility — the reference "
+        "skips heavily-occluded instances via its bounded-rate >= 0.5 "
+        "filter (ycb_video/dataset.py:12,103); barely-visible crops "
+        "destabilize training (mask-truncation augmentation can empty "
+        "them). Val keeps every instance, like the reference.",
+    )
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--epochs", type=int, default=30)
     parser.add_argument("--lr", type=float, default=1e-4)
@@ -81,10 +89,12 @@ def main():
                 if not datasets.has_transfer_arrays(path):
                     datasets.derive_transfer_arrays(path)
                 return datasets.PackedPoseDataset(
-                    path, split="train", augmentation=True, transfer=True
+                    path, split="train", augmentation=True, transfer=True,
+                    min_visibility=args.min_visibility,
                 )
             return datasets.RGBDPoseEstimationDatasetReIndexed(
-                path, split="train", augmentation=True
+                path, split="train", augmentation=True,
+                min_visibility=args.min_visibility,
             )
 
         sources = [build_train(p) for p in args.data]

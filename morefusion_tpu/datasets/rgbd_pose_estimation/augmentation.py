@@ -104,7 +104,13 @@ def augment_mask(rgb, pcd, rng: np.random.RandomState):
     mask = ~np.isnan(pcd).any(axis=2)
     if not mask.any():
         return rgb, pcd
-    mask = _truncate_mask(mask, rng)
+    new_mask = _truncate_mask(mask, rng)
+    # never truncate a small mask to (near-)nothing: the point sampler
+    # needs a usable pixel population (reference-intent guard — the
+    # reference filters such crops out entirely, dataset.py:103)
+    if new_mask.sum() < max(64, 0.05 * mask.sum()):
+        return rgb, pcd
+    mask = new_mask
 
     rgb = rgb.copy()
     pcd = pcd.copy()
@@ -139,7 +145,10 @@ def augment_mask_z(rgb, z, coef, rng: np.random.RandomState):
     mask = np.isfinite(z)
     if not mask.any():
         return rgb, z, coef
-    mask = _truncate_mask(mask, rng)
+    new_mask = _truncate_mask(mask, rng)
+    if new_mask.sum() < max(64, 0.05 * mask.sum()):
+        return rgb, z, coef
+    mask = new_mask
 
     rgb = rgb.copy()
     z = z.astype(np.float32)  # cv2 has no fp16 path
