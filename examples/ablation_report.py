@@ -23,11 +23,11 @@ import json
 import os
 
 ROWS = (
-    ("MF-occ (no occupancy)", "eval_noocc.json", "morefusion"),
-    ("MF (observed grids)", "eval_occ_observed.json", "morefusion"),
-    ("MF+target- (full nontarget)", "eval_occ_nontarget_full.json",
+    ("MF-occ (no occupancy)", "eval_noocc_observed.json", "morefusion"),
+    ("MF (observed grids)", "eval_occ2_observed.json", "morefusion"),
+    ("MF+target- (full nontarget)", "eval_occ2_nontarget_full.json",
      "morefusion"),
-    ("MF+target-+bg (full grids)", "eval_occ_full_bg.json", "morefusion"),
+    ("MF+target-+bg (full grids)", "eval_occ2_full_bg.json", "morefusion"),
 )
 
 

@@ -156,6 +156,10 @@ def fit(
         bank,
         mesh,
         with_occupancy=with_occupancy,
+        # the occupancy grids feed the model whenever with_occupancy; the
+        # occupancy *loss term* only for the explicit "+occupancy" loss
+        # variant (reference train.py:204-219 — not the default recipe)
+        occupancy_loss_term="occupancy" in loss,
         occupancy_scale=occupancy_scale,
         augment=device_augment,
         transfer_schema=transfer_schema,

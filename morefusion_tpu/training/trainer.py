@@ -110,6 +110,7 @@ def make_train_step(
     axis_name: Optional[str] = None,
     augment: bool = False,
     transfer_schema=None,
+    occupancy_loss_term: Optional[bool] = None,
 ):
     """Build the jittable train step.
 
@@ -123,7 +124,17 @@ def make_train_step(
     With ``axis_name`` set, gradients and metrics are ``pmean``-reduced over
     that mesh axis (for use under ``shard_map`` — see
     ``make_dp_train_step``).
+
+    ``with_occupancy`` feeds the occupancy grids to the model (the
+    reference's headline ``--with-occupancy`` recipe);
+    ``occupancy_loss_term`` additionally adds the occupancy reward/penalty
+    loss (the reference's *optional* ``...+occupancy`` loss variant,
+    train.py:204-219 — NOT part of the default recipe). Defaults to
+    ``with_occupancy`` for backward compatibility.
     """
+    add_occ_loss = (
+        with_occupancy if occupancy_loss_term is None else occupancy_loss_term
+    )
 
     def loss_fn(params, batch, rng):
         sample_rng, dropout_rng, aug_rng = jax.random.split(rng, 3)
@@ -166,7 +177,7 @@ def make_train_step(
             lambda_confidence=lambda_confidence,
         )
         metrics = {"loss_add": loss}
-        if with_occupancy:
+        if add_occ_loss:
             occ = losses_module.occupancy_loss(
                 quaternion_pred=quat,
                 translation_pred=trans,
