@@ -96,3 +96,27 @@ def test_packed_visibility_filter(packed_pair):
         packed_ds._root_dir, min_visibility=1.1
     )
     assert len(filtered) < full or full == 0
+
+
+def test_transfer_mode_parity(packed_pair):
+    """The z + affine-coef transfer form must reconstruct the organized
+    cloud within the fp16/affine budget (training/transfer.py), preserve
+    the NaN mask exactly, and carry z/coef instead of pcd on the batch
+    fast path."""
+    _, packed_ds = packed_pair
+    root = packed_ds._root_dir
+    datasets.derive_transfer_arrays(root, progress=False)
+    tds = datasets.PackedPoseDataset(root, transfer=True)
+
+    ex_t = tds.get_example(0)
+    ex_p = packed_ds.get_example(0)
+    mask = np.isfinite(ex_p["pcd"]).all(-1)
+    assert (np.isfinite(ex_t["pcd"]).all(-1) == mask).all()
+    err = np.abs(ex_t["pcd"] - ex_p["pcd"])[mask]
+    if err.size:
+        assert np.percentile(err, 99) < 5e-3
+        assert err[..., 2:].max() < 1e-3  # z is fp16-exact, no affine term
+
+    batch = tds.load_batch([0, min(1, len(tds) - 1)])
+    assert "z" in batch and "pcd_coef" in batch and "pcd" not in batch
+    assert batch["z"].dtype == np.float16
