@@ -47,11 +47,16 @@ def main():
     )
     parser.add_argument(
         "--min-visibility", type=float, default=0.8,
-        help="drop train crops below this visibility — the reference "
-        "skips heavily-occluded instances via its bounded-rate >= 0.5 "
-        "filter (ycb_video/dataset.py:12,103); barely-visible crops "
-        "destabilize training (mask-truncation augmentation can empty "
-        "them). Val keeps every instance, like the reference.",
+        help="drop train crops below this visibility. DELIBERATE "
+        "DEVIATION from the reference, which computes visibility but "
+        "never filters on it (its only crop filter is "
+        "nonnan.sum() < n_points_minimal, rgbd_pose_estimation/"
+        "base.py:124). Measured justification: training on unfiltered "
+        "heavy-clutter crops diverges (val AUC 0.27 -> 0.08; "
+        "/root/runs/occ_diverged_nofilter, docs/BENCH_NOTES.md) — "
+        "barely-visible instances plus mask-truncation augmentation "
+        "feed the point sampler near-empty masks. Val keeps every "
+        "instance. Set 0.0 for strict reference parity.",
     )
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--epochs", type=int, default=30)

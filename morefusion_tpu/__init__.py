@@ -13,6 +13,37 @@ Conventions (TPU-native, intentionally different from the Chainer reference):
   - Batched code paths use ``vmap``/fixed shapes instead of per-sample loops.
 """
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out: MFTPU_NO_COMPILE_CACHE).
+
+    The remote-TPU relay compiles the full train step in ~530 s; a
+    4-variant training campaign would pay that per process. The disk
+    cache brings repeat compiles down to seconds. Safe to set any time
+    before the first compile; no-op if jax is absent.
+    """
+    if _os.environ.get("MFTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = _os.environ.get(
+                "MFTPU_COMPILE_CACHE_DIR",
+                _os.path.expanduser("~/.cache/mftpu_xla"),
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:
+        pass  # never let cache setup break imports
+
+
+_enable_compilation_cache()
+
 from . import functions  # noqa: F401
 from . import geometry  # noqa: F401
 from . import metrics  # noqa: F401

@@ -138,14 +138,33 @@ def derive_transfer_arrays(root_dir: str, chunk: int = 256, progress=True):
     per-example affine coefficients instead of 12 MB/batch of fp32 xyz
     and reconstructs the organized cloud on device
     (``training/transfer.py``). One pass over pcd.npy, ~constant memory.
+
+    Atomic: both arrays are built under ``.tmp`` names and renamed into
+    place only when complete, so an interrupted derive never leaves a
+    complete-looking zero/partial ``z16.npy`` that
+    ``has_transfer_arrays`` would accept. In multi-process runs only
+    process 0 derives; other processes wait for the rename.
     """
     from ..training.transfer import fit_pcd_coefs
 
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            import time
+
+            while not has_transfer_arrays(root_dir):
+                time.sleep(1.0)
+            return np.load(os.path.join(root_dir, "pcd_coef.npy"))
+    except (ImportError, RuntimeError):
+        pass  # jax absent / distributed not initialized: single process
+
     pcd = np.load(os.path.join(root_dir, "pcd.npy"), mmap_mode="r")
     n, H, W = pcd.shape[:3]
+    z16_tmp = os.path.join(root_dir, "z16.npy.tmp")
+    coef_tmp = os.path.join(root_dir, "pcd_coef.npy.tmp")
     z16 = np.lib.format.open_memmap(
-        os.path.join(root_dir, "z16.npy"), mode="w+", dtype=np.float16,
-        shape=(n, H, W),
+        z16_tmp, mode="w+", dtype=np.float16, shape=(n, H, W)
     )
     coef = np.zeros((n, 4), np.float32)
     for lo in range(0, n, chunk):
@@ -156,7 +175,13 @@ def derive_transfer_arrays(root_dir: str, chunk: int = 256, progress=True):
         if progress and (lo // chunk) % 8 == 0:
             print(f"derive_transfer: {hi}/{n}")
     z16.flush()
-    np.save(os.path.join(root_dir, "pcd_coef.npy"), coef)
+    del z16
+    with open(coef_tmp, "wb") as f:
+        np.save(f, coef)
+    # coef first: has_transfer_arrays requires BOTH files, and z16.npy is
+    # the one a concurrent open would try to memmap
+    os.rename(coef_tmp, os.path.join(root_dir, "pcd_coef.npy"))
+    os.rename(z16_tmp, os.path.join(root_dir, "z16.npy"))
     return coef
 
 

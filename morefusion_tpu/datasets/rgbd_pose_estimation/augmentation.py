@@ -59,7 +59,12 @@ def augment_pcd(pcd: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
 
 
 def _truncate_mask(mask, rng: np.random.RandomState):
-    """Shared mask-truncation draw: bbox-edge shift + contour subset."""
+    """Shared mask-truncation draw: bbox-edge shift + contour subset.
+
+    Operates on a copy — the caller's mask (and its population count,
+    used for the 5% retention guard) is left untouched.
+    """
+    mask = mask.copy()
     H, W = mask.shape
     case = rng.choice(4)
     y1, x1, y2, x2 = masks_to_bboxes(mask[None])[0]
@@ -102,13 +107,14 @@ def augment_mask(rgb, pcd, rng: np.random.RandomState):
     """Random mask truncation: bbox-edge shift + contour subset selection."""
     H, W = rgb.shape[:2]
     mask = ~np.isnan(pcd).any(axis=2)
-    if not mask.any():
+    orig_count = mask.sum()
+    if orig_count == 0:
         return rgb, pcd
     new_mask = _truncate_mask(mask, rng)
     # never truncate a small mask to (near-)nothing: the point sampler
     # needs a usable pixel population (reference-intent guard — the
     # reference filters such crops out entirely, dataset.py:103)
-    if new_mask.sum() < max(64, 0.05 * mask.sum()):
+    if new_mask.sum() < max(64, 0.05 * orig_count):
         return rgb, pcd
     mask = new_mask
 
@@ -143,10 +149,11 @@ def augment_mask_z(rgb, z, coef, rng: np.random.RandomState):
     H, W = z.shape
     z_dtype = z.dtype
     mask = np.isfinite(z)
-    if not mask.any():
+    orig_count = mask.sum()
+    if orig_count == 0:
         return rgb, z, coef
     new_mask = _truncate_mask(mask, rng)
-    if new_mask.sum() < max(64, 0.05 * mask.sum()):
+    if new_mask.sum() < max(64, 0.05 * orig_count):
         return rgb, z, coef
     mask = new_mask
 

@@ -37,6 +37,13 @@ def maybe_initialize(
 
     if coordinator_address is None and num_processes in (None, 1):
         return False
+    try:
+        # CPU backends need gloo for cross-process collectives (the
+        # multi-process CI test runs 2 procs x 4 virtual CPU devices);
+        # no-op for TPU backends. Must be set before backend init.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -24,5 +24,7 @@ from .replay import load_sequence
 from .replay import play_sequence
 from .robot import PickAction
 from .robot import PickAndPlacePlanner
+from .robot import PickAndPlaceStateMachine
+from .robot import PickOutcome
 from .robot import RobotInterface
 from .robot import SimulatedRobotInterface

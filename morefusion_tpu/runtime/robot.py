@@ -43,22 +43,43 @@ class RobotInterface:
     def set_suction(self, on: bool) -> None:
         raise NotImplementedError
 
+    def check_grasped(self) -> bool:
+        """Vacuum-seal check after suction-on (hardening beyond the
+        reference, which assumes every grip succeeds — its only guard is
+        a raise on impossible placement, ``ri/pick_and_place.py:736``).
+        Hardware adapters read the ejector's pressure sensor; defaults to
+        True for adapters without one."""
+        return True
+
     def home(self) -> bool:
         raise NotImplementedError
 
 
 class SimulatedRobotInterface(RobotInterface):
-    """Records commands; always succeeds (test/dry-run adapter)."""
+    """Records commands; succeeds unless failures are injected.
 
-    def __init__(self):
+    ``grasp_results`` / ``move_results`` are FIFO scripts of booleans the
+    next ``check_grasped`` / ``move_to`` calls pop (empty -> success) —
+    the fault-injection hooks used by the state-machine scenario tests.
+    """
+
+    def __init__(self, grasp_results=None, move_results=None):
         self.log: List = []
+        self.grasp_results: List[bool] = list(grasp_results or [])
+        self.move_results: List[bool] = list(move_results or [])
 
     def move_to(self, T_ee2world, speed=1.0):
-        self.log.append(("move_to", np.asarray(T_ee2world), speed))
-        return True
+        ok = self.move_results.pop(0) if self.move_results else True
+        self.log.append(("move_to", np.asarray(T_ee2world), speed, ok))
+        return ok
 
     def set_suction(self, on):
         self.log.append(("suction", bool(on)))
+
+    def check_grasped(self):
+        ok = self.grasp_results.pop(0) if self.grasp_results else True
+        self.log.append(("check_grasped", ok))
+        return ok
 
     def home(self):
         self.log.append(("home",))
@@ -172,7 +193,8 @@ class PickAndPlacePlanner:
         self, plan: Sequence[PickAction], robot: RobotInterface
     ) -> bool:
         """Run the pick sequence through an adapter (the reference's
-        state-machine loop)."""
+        state-machine loop; no retries — see PickAndPlaceStateMachine
+        for the failure-hardened driver)."""
         for action in plan:
             if not robot.move_to(action.pre_grasp_pose):
                 return False
@@ -187,3 +209,158 @@ class PickAndPlacePlanner:
             robot.set_suction(False)
         robot.home()
         return True
+
+
+@dataclasses.dataclass
+class PickOutcome:
+    instance_id: int
+    status: str  # "placed" | "dropped" | "skipped"
+    grasp_attempts: int = 0
+    rescans: int = 0
+
+
+class PickAndPlaceStateMachine:
+    """Failure-hardened pick-and-place driver (reference role:
+    ``ri/pick_and_place.py:660-768`` main loop, with the retry/re-scan
+    branches the reference lacks).
+
+    Per outer iteration, the scene is (re)planned with
+    ``PickAndPlacePlanner.plan_picks`` — so an occluded target is
+    automatically reached by removing its occluders first (occlusion
+    graph, ``select_picking_order``) — and only the FIRST action of the
+    plan executes before re-planning, so every pick uses poses that
+    reflect what has already been removed.
+
+    Failure handling per pick:
+      - unreachable pre-grasp/grasp (``move_to`` False): re-scan the
+        scene (fresh poses) and retry; after ``max_grasp_attempts``
+        total attempts the object is skipped;
+      - vacuum-seal failure (``check_grasped`` False): release, retreat
+        to pre-grasp, retry; attempts beyond ``rescan_after_attempt``
+        trigger a scene re-scan first (the pose estimate is suspect);
+      - placement-motion failure: fall back to the distractor drop
+        (mirrors the reference's distractor-box branch instead of its
+        hard raise).
+
+    ``scene_provider()`` returns a dict with keys ``poses`` (instance_id
+    -> {class_id, T_cad2world}), ``K``, ``T_cam2world``,
+    ``image_shape``, and optionally ``place_poses`` — in the live
+    system this is a fresh scan through the perception stack
+    (``ScenePipeline``); tests use a scripted provider.
+    """
+
+    def __init__(
+        self,
+        planner: PickAndPlacePlanner,
+        robot: RobotInterface,
+        scene_provider,
+        target_instance: Optional[int] = None,
+        max_grasp_attempts: int = 3,
+        rescan_after_attempt: int = 1,
+        max_picks: int = 50,
+    ):
+        self._planner = planner
+        self._robot = robot
+        self._scene = scene_provider
+        self._target = target_instance
+        self._max_attempts = max_grasp_attempts
+        self._rescan_after = rescan_after_attempt
+        self._max_picks = max_picks
+        self.outcomes: List[PickOutcome] = []
+
+    # -- single-pick state machine ---------------------------------------
+
+    def _attempt_pick(self, action: PickAction) -> str:
+        """One grasp attempt: approach -> grasp -> suction -> verify ->
+        lift. Returns "ok" | "unreachable" | "not_grasped" | "lift_failed"."""
+        robot = self._robot
+        if not robot.move_to(action.pre_grasp_pose):
+            return "unreachable"
+        if not robot.move_to(action.grasp_pose, speed=0.3):
+            return "unreachable"
+        robot.set_suction(True)
+        if not robot.check_grasped():
+            robot.set_suction(False)
+            robot.move_to(action.pre_grasp_pose)  # retreat before retry
+            return "not_grasped"
+        if not robot.move_to(action.lift_pose, speed=0.5):
+            robot.set_suction(False)
+            return "lift_failed"
+        return "ok"
+
+    def _place_or_drop(self, action: PickAction) -> str:
+        """Carry phase: try the place pose, fall back to drop."""
+        robot = self._robot
+        if action.place_pose is not None and robot.move_to(
+            action.place_pose
+        ):
+            robot.set_suction(False)
+            return "placed"
+        # distractor-box drop fallback: release where we are (lift pose)
+        robot.set_suction(False)
+        return "dropped"
+
+    def _plan_next(self, scene, skipped) -> Optional[PickAction]:
+        poses = {
+            i: p for i, p in scene["poses"].items() if i not in skipped
+        }
+        if not poses:
+            return None
+        target = self._target if self._target in poses else None
+        plan = self._planner.plan_picks(
+            poses,
+            scene["K"],
+            scene["T_cam2world"],
+            scene["image_shape"],
+            target_instance=target,
+            place_poses=scene.get("place_poses"),
+        )
+        # leaf-first order: the first action is the least-occluded
+        # prerequisite of the target
+        return plan[0] if plan else None
+
+    def run(self) -> List[PickOutcome]:
+        """Pick until the target is removed (or the scene is empty)."""
+        scene = self._scene()
+        skipped: set = set()
+        for _ in range(self._max_picks):
+            action = self._plan_next(scene, skipped)
+            if action is None:
+                break
+            attempts = 0
+            rescans = 0
+            status = None
+            while attempts < self._max_attempts:
+                attempts += 1
+                result = self._attempt_pick(action)
+                if result == "ok":
+                    status = self._place_or_drop(action)
+                    break
+                if attempts >= self._max_attempts:
+                    break
+                if result == "unreachable" or attempts > self._rescan_after:
+                    # pose estimate suspect -> fresh perception pass
+                    scene = self._scene()
+                    rescans += 1
+                    replanned = self._plan_next(scene, skipped)
+                    if replanned is not None and (
+                        replanned.instance_id == action.instance_id
+                    ):
+                        action = replanned
+            if status is None:
+                status = "skipped"
+                skipped.add(action.instance_id)
+            else:
+                scene["poses"].pop(action.instance_id, None)
+            self.outcomes.append(
+                PickOutcome(
+                    instance_id=action.instance_id,
+                    status=status,
+                    grasp_attempts=attempts,
+                    rescans=rescans,
+                )
+            )
+            if action.instance_id == self._target and status != "skipped":
+                break
+        self._robot.home()
+        return self.outcomes

@@ -57,16 +57,29 @@ def _prefetch_to_device(host_iter, to_device, depth: int = 2):
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def _put(item):
+        # bounded put that re-checks stop: if the consumer exits early
+        # (max_steps break) a plain q.put would block forever and leak
+        # the thread plus its queued device buffers
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for hb in host_iter:
                 if stop.is_set():
                     return
-                q.put(to_device(hb))
+                if not _put(to_device(hb)):
+                    return
         except Exception as e:  # surface transfer errors to the consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(None)
+        _put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -62,6 +62,15 @@ class TransferSchema:
     """
 
     def __init__(self, batch: Dict[str, np.ndarray]):
+        known = {name for name, _ in _CANONICAL}
+        leftover = set(batch) - known
+        if leftover:
+            # a field the canonical table doesn't know would otherwise be
+            # silently dropped from every training batch
+            raise ValueError(
+                f"batch keys {sorted(leftover)} missing from "
+                "transfer._CANONICAL — add them to the schema table"
+            )
         self.fields: List[Tuple[str, str, np.dtype, tuple, int, int]] = []
         offset = 0
         for name, kind in _CANONICAL:
