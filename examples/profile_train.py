@@ -114,9 +114,12 @@ def main():
         sym = np.bool_(True)
 
         t0 = time.time()
-        state2, metrics = step(state, sb, sym, rng)
+        state, metrics = step(state, sb, sym, rng)  # donates the old state
         jax.device_get(metrics["loss"])
-        print(f"[{name}] first call (compile): {time.time() - t0:.1f}s")
+        print(
+            f"[{name}] first call (compile): {time.time() - t0:.1f}s",
+            flush=True,
+        )
 
         def run(state):
             # donation: keep a fresh state per call chain
@@ -134,7 +137,7 @@ def main():
         dt = (time.time() - t0) / args.steps
         results[f"train_step_{name}"] = dt
         print(f"[{name}] train step: {dt * 1e3:.1f} ms "
-              f"({B / dt:.1f} samples/s)")
+              f"({B / dt:.1f} samples/s)", flush=True)
 
         # forward-only loss
         params = state.params
@@ -271,20 +274,16 @@ def main():
     for k, v in results.items():
         print(f"{k:24s} {v * 1e3:8.1f}")
 
-    # rough FLOP-based MFU estimate for the fp32 step
+    # rough FLOP-based MFU estimate for the fp32 step (cost analysis of
+    # the single-device step program)
     try:
-        m = models.SingleView3D(n_fg_class=21, with_occupancy=True)
-        a = jax.jit(
-            lambda p, b: trainer_module.make_train_step(
-                m, bank, with_occupancy=True, occupancy_loss_term=False
-            )(state, b, np.bool_(True), rng)
+        single = trainer_module.make_train_step(
+            model, bank, with_occupancy=True, occupancy_loss_term=False
         )
-        # use lowering cost analysis on the single-device step
-        lowered = jax.jit(
-            trainer_module.make_train_step(
-                m, bank, with_occupancy=True, occupancy_loss_term=False
-            )
-        ).lower(state, dict(jb), np.bool_(True), rng)
+        batch_js = dict(jb)
+        lowered = jax.jit(single).lower(
+            state, batch_js, np.bool_(True), rng
+        )
         cost = lowered.compile().cost_analysis()
         flops = cost.get("flops") if cost else None
         if flops:

@@ -69,6 +69,12 @@ def main():
         help="data-loading worker processes (0 = in-process prefetch "
         "thread; use ~half the host cores on a TPU VM)",
     )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 activation compute for the conv/dense stacks (params, "
+        "optimizer state, pose outputs and losses stay fp32 — the "
+        "serving-validated mixed-precision recipe, docs/BENCH_NOTES.md)",
+    )
     parser.add_argument("--tiny", action="store_true", help="CI-sized model")
     parser.add_argument("--n-point", type=int, default=1000)
     parser.add_argument("--eval-interval", type=float, default=0.25,
@@ -147,6 +153,9 @@ def main():
         )
 
     if args.model == "singleview_3d":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         if args.tiny:
             model = models.tiny_singleview3d(
                 n_fg_class, n_point=args.n_point,
@@ -155,7 +164,7 @@ def main():
         else:
             model = models.SingleView3D(
                 n_fg_class=n_fg_class, n_point=args.n_point,
-                with_occupancy=with_occupancy,
+                with_occupancy=with_occupancy, compute_dtype=dtype,
             )
     else:
         model = models.PoseNet(n_fg_class=n_fg_class, n_point=args.n_point)

@@ -4,9 +4,13 @@
 Equivalent role to the reference's Mask R-CNN training
 (``examples/ycb_video/instance_segm/train_multi.py``), TPU-native: a UNet
 predicts per-pixel class logits plus an instance-boundary logit; instances
-are recovered on the host as boundary-separated connected components —
-multiple instances per class supported (see
-``morefusion_tpu/models/segmentation.py``).
+are recovered as boundary-separated connected components — computed on
+device (``ops/connected_components.py``), multiple instances per class
+supported (see ``morefusion_tpu/models/segmentation.py``).
+
+Round-3 additions (VERDICT item 4): RGB-D input (--use-depth), photometric
+augmentation on top of the background compositing, per-class held-out
+metrics, and a larger default data/step budget.
 
 Reports held-out mIoU and instance detection rate (IoU >= 0.5 greedy
 matching) at the end of training.
@@ -19,17 +23,18 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 )
 import argparse
+import json
 
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--n-frames", type=int, default=400)
-    parser.add_argument("--n-val-frames", type=int, default=30)
+    parser.add_argument("--n-frames", type=int, default=800)
+    parser.add_argument("--n-val-frames", type=int, default=50)
     parser.add_argument("--image-shape", type=int, nargs=2, default=(240, 320))
     parser.add_argument("--n-objects", type=int, nargs=2, default=(4, 10))
     parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--steps", type=int, default=4000)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument(
         "--widths", type=int, nargs="+", default=(32, 64, 128, 256)
@@ -40,6 +45,18 @@ def main():
         help="disable the instance-boundary head (one-component-per-class "
         "fallback instancing)",
     )
+    parser.add_argument(
+        "--use-depth", action="store_true",
+        help="RGB-D input: depth discontinuities separate cluttered "
+        "instances far better than RGB alone (deviation from the "
+        "reference's RGB-only Mask R-CNN, justified by the RGB-D "
+        "runtime contract — depth is always available in the pipeline)",
+    )
+    parser.add_argument(
+        "--no-augment", action="store_true",
+        help="disable photometric augmentation (contrast/HSV/blur/"
+        "resolution, the reference reindexed.py:39-67 stack)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -49,6 +66,9 @@ def main():
     from morefusion_tpu import parallel, training
     from morefusion_tpu.datasets.instance_segmentation import (
         SyntheticInstanceSegmentationDataset,
+    )
+    from morefusion_tpu.datasets.rgbd_pose_estimation.augmentation import (
+        augment_rgb,
     )
     from morefusion_tpu.models.segmentation import (
         SegmentationNode,
@@ -69,13 +89,41 @@ def main():
         format="instance",
         seed=args.seed,
     )
-    loader = training.BatchLoader(ds, args.batch_size, shuffle=True)
+    aug_rng = np.random.RandomState(args.seed + 99)
+
+    def transform(ex):
+        if not args.no_augment:
+            ex = dict(
+                ex,
+                rgb=augment_rgb(
+                    np.clip(ex["rgb"], 0, 255).astype(np.uint8), aug_rng
+                ).astype(np.float32),
+            )
+        return ex
+
+    loader = training.BatchLoader(
+        ds, args.batch_size, transform, shuffle=True
+    )
 
     model = UNetSegmentation(
-        n_class=22, widths=tuple(args.widths), with_boundary=with_boundary
+        n_class=22,
+        widths=tuple(args.widths),
+        with_boundary=with_boundary,
+        use_depth=args.use_depth,
     )
     example = next(iter(loader))
-    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), example["rgb"])
+
+    def apply_model(p, batch, params_rng=None):
+        kwargs = {}
+        if args.use_depth:
+            kwargs["depth"] = batch["depth"]
+        if params_rng is not None:
+            return model.init(params_rng, batch["rgb"], **kwargs)
+        return model.apply(p, batch["rgb"], **kwargs)
+
+    params = jax.jit(
+        lambda b: apply_model(None, b, jax.random.PRNGKey(args.seed))
+    )(example)
     tx = optax.adam(args.lr)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
@@ -84,7 +132,7 @@ def main():
 
     def train_step(state, batch):
         def loss_fn(p):
-            out = model.apply(p, batch["rgb"])
+            out = apply_model(p, batch)
             if with_boundary:
                 logits, blog = out
                 l_cls = segmentation_loss(logits, batch["class_label"])
@@ -116,13 +164,14 @@ def main():
     training.write_args(args.out, vars(args))
     ckpt = training.CheckpointManager(args.out)
 
+    batch_keys = ("rgb", "class_label", "boundary") + (
+        ("depth",) if args.use_depth else ()
+    )
     k = 0
     while k < args.steps:
         for batch in loader:
             sb = parallel.shard_batch(
-                {k2: batch[k2] for k2 in ("rgb", "class_label", "boundary")
-                 if k2 in batch},
-                mesh,
+                {k2: batch[k2] for k2 in batch_keys if k2 in batch}, mesh
             )
             state, loss = step(state, sb)
             k += 1
@@ -130,12 +179,15 @@ def main():
                 log.report(
                     {"main/loss": float(jax.device_get(loss))}, step=k
                 )
-                print(f"step {k}: loss={float(jax.device_get(loss)):.4f}")
+                print(
+                    f"step {k}: loss={float(jax.device_get(loss)):.4f}",
+                    flush=True,
+                )
             if k >= args.steps:
                 break
     ckpt.save_latest(state, k)
 
-    # held-out evaluation: mIoU + instance detection rate
+    # held-out evaluation: mIoU + instance detection rate (+ per-class)
     val = SyntheticInstanceSegmentationDataset(
         split="val",
         n_frames=args.n_val_frames,
@@ -147,9 +199,12 @@ def main():
     params_host = jax.device_get(state.params)
     node = SegmentationNode(model, params_host)
     mious, matched, n_gt, n_pred = [], 0, 0, 0
+    per_class = {}  # cid -> [matched, gt, pred]
     for i in range(len(val)):
         ex = val.get_example(i)
-        pred_label, pred_classes = node(ex["rgb"])
+        pred_label, pred_classes = node(
+            ex["rgb"], ex["depth"] if args.use_depth else None
+        )
         class_map_pred = np.zeros(pred_label.shape, np.int32)
         for pid, cid in pred_classes.items():
             class_map_pred[pred_label == pid] = cid
@@ -166,6 +221,21 @@ def main():
         matched += m
         n_gt += g
         n_pred += p
+        # per-class tallies (matched computed per class for the table)
+        for cid in set(gt_classes.values()) | set(pred_classes.values()):
+            gt_c = {
+                k2: v for k2, v in gt_classes.items() if v == cid
+            }
+            pr_c = {
+                k2: v for k2, v in pred_classes.items() if v == cid
+            }
+            mc, gc, pc = match_instances(
+                pred_label, pr_c, ex["instance_label"], gt_c
+            )
+            acc = per_class.setdefault(int(cid), [0, 0, 0])
+            acc[0] += mc
+            acc[1] += gc
+            acc[2] += pc
 
     summary = {
         "validation/miou": float(np.mean(mious)),
@@ -175,6 +245,18 @@ def main():
     }
     log.report(summary, step=k)
     print("validation:", {k2: round(v, 4) for k2, v in summary.items()})
+    table = {
+        str(cid): dict(
+            detection=m / max(g, 1), precision=m / max(p, 1), n_gt=g
+        )
+        for cid, (m, g, p) in sorted(per_class.items())
+    }
+    with open(os.path.join(args.out, "per_class.json"), "w") as f:
+        json.dump(table, f, indent=1)
+    worst = sorted(
+        table.items(), key=lambda kv: kv[1]["detection"]
+    )[:5]
+    print("worst classes:", [(c, round(v["detection"], 2)) for c, v in worst])
 
 
 if __name__ == "__main__":

@@ -103,6 +103,7 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
 
             return dict(
                 rgb=frame["rgb"].astype(np.float32),
+                depth=np.nan_to_num(frame["depth"]).astype(np.float32),
                 class_label=frame_to_class_label(frame),
                 boundary=boundary_from_instance_label(
                     frame["instance_label"]

@@ -8,4 +8,6 @@ same-semantics XLA fallback and is parity-tested against it.
 
 # flake8: noqa: F401
 
+from .connected_components import connected_components
+from .connected_components import relabel_components
 from .knn_pallas import nn_pallas

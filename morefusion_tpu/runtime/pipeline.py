@@ -88,7 +88,7 @@ class ScenePipeline:
             self.last_refined = dict(zip(ids, refined))
         return self.last_refined
 
-    def process_frame(
+    def _prepare(
         self,
         rgb: np.ndarray,
         depth: np.ndarray,
@@ -96,10 +96,9 @@ class ScenePipeline:
         T_cam2world: np.ndarray,
         instance_label: Optional[np.ndarray] = None,
         instance_to_class: Optional[Dict[int, int]] = None,
-        refine: bool = True,
-    ) -> Dict[int, dict]:
-        """Run the full per-frame pipeline; returns per-instance results
-        (poses in the camera frame, plus world-frame poses)."""
+    ) -> dict:
+        """Host/native phase: segmentation, mapping fusion, grid
+        extraction. Produces everything the device pose program needs."""
         if instance_label is None:
             if self._segmenter is None:
                 raise ValueError(
@@ -166,10 +165,34 @@ class ScenePipeline:
                 grid_meta[ins_id] = (pitch_l[k], origin_l[k])
                 grid_cache[ins_id] = (g_t_u8[k], gne_u8[k])
 
-        # 4) pose prediction (camera frame)
-        poses = self.pose_node.estimate(
-            rgb, pcd_cam, label, inst_to_class, noentry_grids=noentry
+        return dict(
+            rgb=rgb,
+            pcd_cam=pcd_cam,
+            label=label,
+            inst_to_class=inst_to_class,
+            noentry=noentry,
+            grid_meta=grid_meta,
+            grid_cache=grid_cache,
+            T_cam2world=T_cam2world,
         )
+
+    def _dispatch_pose(self, ctx: dict):
+        """Launch the device pose program for a prepared frame (async)."""
+        return self.pose_node.dispatch(
+            ctx["rgb"],
+            ctx["pcd_cam"],
+            ctx["label"],
+            ctx["inst_to_class"],
+            noentry_grids=ctx["noentry"],
+        )
+
+    def _finish(self, ctx: dict, handle, refine: bool) -> Dict[int, dict]:
+        """Resolve the pose program, update temporal fusion, run/queue
+        collision refinement."""
+        grid_meta = ctx["grid_meta"]
+        grid_cache = ctx["grid_cache"]
+        T_cam2world = ctx["T_cam2world"]
+        poses = self.pose_node.resolve(handle)
 
         # 5) temporal fusion in the world frame
         for ins_id, res in poses.items():
@@ -221,3 +244,51 @@ class ScenePipeline:
 
         self.last_poses = poses
         return poses
+
+    def process_frame(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        K: np.ndarray,
+        T_cam2world: np.ndarray,
+        instance_label: Optional[np.ndarray] = None,
+        instance_to_class: Optional[Dict[int, int]] = None,
+        refine: bool = True,
+    ) -> Dict[int, dict]:
+        """Run the full per-frame pipeline; returns per-instance results
+        (poses in the camera frame, plus world-frame poses)."""
+        ctx = self._prepare(
+            rgb, depth, K, T_cam2world, instance_label, instance_to_class
+        )
+        handle = self._dispatch_pose(ctx)
+        return self._finish(ctx, handle, refine)
+
+    def process_stream(self, frames, refine: bool = True):
+        """Software-pipelined serving loop: one frame in flight.
+
+        ``frames`` yields dicts with keys rgb/depth/K/T_cam2world and
+        optional instance_label/instance_to_class. For each frame the
+        pose program is DISPATCHED (async), then the NEXT frame's
+        host/native phase (segmentation + C++ fusion + grid extraction,
+        ~110 ms on this host) runs while the device computes — the
+        overlap the sequential ``process_frame`` loop cannot express.
+        Results stream out in order, each one frame behind the prepare
+        phase (the reference gets the same overlap from its decoupled
+        ROS nodes, SURVEY.md §3.4).
+        """
+        prev = None
+        for frame in frames:
+            ctx = self._prepare(
+                frame["rgb"],
+                frame["depth"],
+                frame["K"],
+                frame["T_cam2world"],
+                frame.get("instance_label"),
+                frame.get("instance_to_class"),
+            )
+            handle = self._dispatch_pose(ctx)
+            if prev is not None:
+                yield self._finish(prev[0], prev[1], refine)
+            prev = (ctx, handle)
+        if prev is not None:
+            yield self._finish(prev[0], prev[1], refine)

@@ -165,6 +165,28 @@ class PoseEstimationNode:
         noentry_grids: Optional[Dict[int, np.ndarray]] = None,
     ) -> Dict[int, dict]:
         """Returns {instance_id: {'T_cad2cam', 'class_id', 'confidence'}}."""
+        handle = self.dispatch(
+            rgb, pcd, instance_label, instance_to_class, noentry_grids
+        )
+        return self.resolve(handle)
+
+    def dispatch(
+        self,
+        rgb: np.ndarray,
+        pcd: np.ndarray,
+        instance_label: np.ndarray,
+        instance_to_class: Dict[int, int],
+        noentry_grids: Optional[Dict[int, np.ndarray]] = None,
+    ) -> Optional[dict]:
+        """Launch the frame's pose program without blocking on the result.
+
+        JAX dispatch is asynchronous: the returned handle's device arrays
+        complete in the background, so the host can run the NEXT frame's
+        fusion/extraction while the device computes (resolve() reads the
+        result back). This is the software-pipelined serving mode —
+        reference role: the pose node consuming the camera stream
+        decoupled from the mapping node (SURVEY.md §3.4).
+        """
         finite = ~np.isnan(pcd).any(axis=2)
         ids, bboxes, class_ids, pitches, grids = [], [], [], [], []
         for ins_id, class_id in instance_to_class.items():
@@ -195,7 +217,7 @@ class PoseEstimationNode:
                 )
 
         if not ids:
-            return {}
+            return None
 
         # pad the instance batch to a power-of-two bucket: a varying
         # detection count otherwise recompiles the forward per new B
@@ -218,9 +240,26 @@ class PoseEstimationNode:
             np.asarray(pitches, np.float32)[take],
             np.stack(grids)[take],
         )
-        # one device->host transfer for both outputs (each separate
-        # np.asarray is a full round trip)
-        Ts, confs = jax.device_get(out)
+        return dict(
+            out=out,
+            ids=ids,
+            class_ids=class_ids,
+            B=B,
+            pcd=pcd,
+            instance_label=instance_label,
+        )
+
+    def resolve(self, handle: Optional[dict]) -> Dict[int, dict]:
+        """Read back a dispatched frame's poses (one device->host
+        transfer for both outputs), then optional per-object host ICP."""
+        if handle is None:
+            return {}
+        ids = handle["ids"]
+        class_ids = handle["class_ids"]
+        B = handle["B"]
+        pcd = handle["pcd"]
+        instance_label = handle["instance_label"]
+        Ts, confs = jax.device_get(handle["out"])
         Ts = np.asarray(Ts, dtype=np.float64)[:B]
         confs = np.asarray(confs)[:B]
 

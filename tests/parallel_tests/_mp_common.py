@@ -10,7 +10,7 @@ regardless of process layout, SURVEY.md §2.2).
 import numpy as np
 
 H = W = 32
-N_CLASS = 21
+N_CLASS = 3  # small class count keeps the CPU compile fast
 B = 8
 
 
@@ -55,10 +55,10 @@ def run_scenario():
     from morefusion_tpu.datasets import ProceduralModels
     from morefusion_tpu.models import tiny_singleview3d
 
-    model = tiny_singleview3d(N_CLASS, n_point=32, with_occupancy=True)
+    model = tiny_singleview3d(N_CLASS, n_point=16, with_occupancy=True)
     bank = training.CadPointBank.build(
-        ProceduralModels(), N_CLASS, n_points=64,
-        with_solid=True, max_solid_points=256,
+        ProceduralModels(), N_CLASS, n_points=32,
+        with_solid=True, max_solid_points=128,
     )
     batch = make_batch()
     state = training.create_train_state(

@@ -65,7 +65,7 @@ def test_two_process_data_parallel(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1200)
+            out, _ = p.communicate(timeout=2400)
             outs.append(out.decode(errors="replace"))
     except subprocess.TimeoutExpired:
         for p in procs:
