@@ -23,6 +23,10 @@ from .replay import SequenceRecorder
 from .replay import load_sequence
 from .replay import play_sequence
 from .robot import PickAction
+from .trajectory_exec import TrajectoryExecutor
+from .trajectory_exec import filter_place_poses
+from .trajectory_exec import interpolate_pose
+from .trajectory_exec import time_parameterize
 from .robot import PickAndPlacePlanner
 from .robot import PickAndPlaceStateMachine
 from .robot import PickOutcome
