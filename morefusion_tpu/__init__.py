@@ -26,6 +26,14 @@ def _enable_compilation_cache():
     """
     if _os.environ.get("MFTPU_NO_COMPILE_CACHE"):
         return
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # CPU-only runs (unit tests, multi-process workers) must NOT
+        # share the cache: XLA:CPU AOT artifacts bake in machine-feature
+        # flags (+prefer-no-gather etc.) that are not part of the cache
+        # key, and loading one compiled under different flags corrupts
+        # execution. CPU compiles are fast; the cache matters for the
+        # ~500 s remote-TPU relay compiles.
+        return
     try:
         import jax
 

@@ -42,6 +42,10 @@ def _worker_env(process_id, num_processes, port):
         if p and ".axon_site" not in p
     )
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # the pytest process (the single-process reference) runs with x64
+    # enabled (tests/conftest.py:32); the workers must match or the
+    # float64 promotion paths diverge at the ~1e-2 level
+    env["JAX_ENABLE_X64"] = "True"
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = str(num_processes)
     env["JAX_PROCESS_ID"] = str(process_id)
