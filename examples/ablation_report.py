@@ -22,19 +22,28 @@ import argparse
 import json
 import os
 
-ROWS = (
-    ("MF-occ (no occupancy)", "eval_noocc_observed.json", "morefusion"),
-    ("MF (observed grids)", "eval_occ2_observed.json", "morefusion"),
-    ("MF+target- (full nontarget)", "eval_occ2_nontarget_full.json",
-     "morefusion"),
-    ("MF+target-+bg (full grids)", "eval_occ2_full_bg.json", "morefusion"),
-)
+def rows_for(occ_run: str, noocc_run: str):
+    return (
+        ("MF-occ (no occupancy)", f"eval_{noocc_run}_observed.json",
+         "morefusion"),
+        ("MF (observed grids)", f"eval_{occ_run}_observed.json",
+         "morefusion"),
+        ("MF+target- (full nontarget)",
+         f"eval_{occ_run}_nontarget_full.json", "morefusion"),
+        ("MF+target-+bg (full grids)", f"eval_{occ_run}_full_bg.json",
+         "morefusion"),
+    )
 
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--runs", required=True, help="dir with eval jsons")
+    parser.add_argument("--occ-run", default="occ2",
+                        help="run name of the occupancy model")
+    parser.add_argument("--noocc-run", default="noocc",
+                        help="run name of the no-occupancy model")
     args = parser.parse_args()
+    ROWS = rows_for(args.occ_run, args.noocc_run)
 
     print("| Variant | ADD(-S) AUC | ADD-S AUC | ADD(-S) <2cm |")
     print("|---|---|---|---|")
