@@ -126,7 +126,13 @@ def main():
         print("train sources:", [len(s) for s in sources])
         val_path = args.val_data or args.data[0]
         if datasets.is_packed(val_path):
-            val_ds = datasets.PackedPoseDataset(val_path, split="val")
+            # val rides the compressed transfer too (in-loop eval shipped
+            # ~1 GB fp32 pcd per pass through the 24 MB/s relay otherwise)
+            if not datasets.has_transfer_arrays(val_path):
+                datasets.derive_transfer_arrays(val_path)
+            val_ds = datasets.PackedPoseDataset(
+                val_path, split="val", transfer=True
+            )
         else:
             val_ds = datasets.RGBDPoseEstimationDatasetReIndexed(
                 val_path, split="val"

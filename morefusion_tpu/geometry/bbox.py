@@ -27,11 +27,15 @@ def masks_to_bboxes(masks: np.ndarray) -> np.ndarray:
 
     bboxes = np.zeros((len(masks), 4), dtype=np.float64)
     for i, mask in enumerate(masks):
-        where = np.argwhere(mask)
-        if len(where) == 0:
+        # row/col projections instead of argwhere: two O(H*W) bool
+        # reductions + O(H+W) scans, vs materializing every true pixel
+        rows = mask.any(axis=1)
+        if not rows.any():
             continue
-        (y1, x1), (y2, x2) = where.min(0), where.max(0) + 1
-        bboxes[i] = y1, x1, y2, x2
+        cols = mask.any(axis=0)
+        y_idx = np.flatnonzero(rows)
+        x_idx = np.flatnonzero(cols)
+        bboxes[i] = y_idx[0], x_idx[0], y_idx[-1] + 1, x_idx[-1] + 1
     return bboxes[0] if ndim == 2 else bboxes
 
 

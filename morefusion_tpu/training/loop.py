@@ -47,20 +47,16 @@ def _reconstruct_pcd_np(batch: dict) -> dict:
     return batch
 
 
-def _prefetch_to_device(host_iter, to_device, depth: int = 2):
-    """Stage host->device transfers one step ahead of the dispatch loop.
+def _pipe_stage(src_iter, fn, stop, depth: int = 2):
+    """Run ``fn`` over ``src_iter`` in a worker thread, yielding results.
 
-    Through the relay a batch transfer costs ~payload/24 MB/s on the
-    calling thread; staging it in a feeder thread overlaps it with the
-    device's compute of the previous step.
+    Bounded puts re-check ``stop`` so an early-exiting consumer never
+    leaves the worker blocked on a full queue (leaking the thread and its
+    queued buffers); exceptions propagate to the consumer.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
-    stop = threading.Event()
 
     def _put(item):
-        # bounded put that re-checks stop: if the consumer exits early
-        # (max_steps break) a plain q.put would block forever and leak
-        # the thread plus its queued device buffers
         while not stop.is_set():
             try:
                 q.put(item, timeout=0.5)
@@ -71,26 +67,39 @@ def _prefetch_to_device(host_iter, to_device, depth: int = 2):
 
     def worker():
         try:
-            for hb in host_iter:
+            for item in src_iter:
                 if stop.is_set():
                     return
-                if not _put(to_device(hb)):
+                if not _put(fn(item)):
                     return
-        except Exception as e:  # surface transfer errors to the consumer
+        except Exception as e:
             _put(e)
             return
         _put(None)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
+def _prefetch_to_device(host_iter, to_device, depth: int = 2):
+    """Two-stage pipeline: host batch prep || pack+transfer || dispatch.
+
+    Through the relay a batch transfer costs ~payload/24 MB/s plus relay-
+    process CPU. Splitting prep (pure NumPy, holds the GIL) from
+    ``to_device`` (mostly GIL-released IO wait inside PJRT) lets the
+    transfer of batch k overlap the prep of batch k+1 even on a single
+    host core, and both overlap the device's compute of batch k-1.
+    """
+    stop = threading.Event()
     try:
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        prepped = _pipe_stage(host_iter, lambda hb: hb, stop, depth)
+        yield from _pipe_stage(prepped, to_device, stop, depth)
     finally:
         stop.set()
 
@@ -119,6 +128,7 @@ def fit(
     args_dict: Optional[dict] = None,
     num_workers: int = 0,
     device_augment: bool = False,
+    val_batch_size: Optional[int] = None,
 ):
     """Train; returns (state, final eval summary)."""
     is_primary = jax.process_index() == 0
@@ -140,9 +150,11 @@ def fit(
         seed=seed,
         num_workers=num_workers,
     )
+    # reference valid iterator batch = 48 (train.py:360-365): fewer,
+    # larger eval dispatches matter through the relay
     val_loader = BatchLoader(
         val_dataset,
-        batch_size,
+        val_batch_size or 48,
         transform_val,
         shuffle=False,
         drop_last=True,
@@ -177,16 +189,23 @@ def fit(
         augment=device_augment,
         transfer_schema=transfer_schema,
     )
+    # the val path rides the same single-buffer compressed transfer when
+    # its dataset carries the z/coef form — the uncompressed path shipped
+    # ~1 GB fp32 pcd per eval (55 batches x ~19 MB) through the relay
+    val_example = next(iter(val_loader))
+    val_schema = TransferSchema(val_example) if "z" in val_example else None
     eval_step = make_dp_eval_step(
-        model, bank, mesh, with_occupancy=with_occupancy
+        model, bank, mesh, with_occupancy=with_occupancy,
+        transfer_schema=val_schema,
     )
 
     state = parallel.replicate(state, mesh)
 
-    if transfer_schema is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+    from jax.sharding import NamedSharding, PartitionSpec
 
-        buf_sharding = NamedSharding(mesh, PartitionSpec("data"))
+    buf_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    if transfer_schema is not None:
 
         def to_device(hb):
             return jax.device_put(transfer_schema.pack(hb), buf_sharding)
@@ -194,6 +213,16 @@ def fit(
     else:
 
         def to_device(hb):
+            return parallel.shard_batch(hb, mesh)
+
+    if val_schema is not None:
+
+        def val_to_device(hb):
+            return jax.device_put(val_schema.pack(hb), buf_sharding)
+
+    else:
+
+        def val_to_device(hb):
             return parallel.shard_batch(hb, mesh)
 
     steps_per_epoch = max(len(train_loader), 1)
@@ -205,21 +234,25 @@ def fit(
     def run_eval(params):
         ev = Evaluator()
         for batch in val_loader:
-            sb = parallel.shard_batch(batch, mesh)
-            out = eval_step(params, sb)
+            out = eval_step(params, val_to_device(batch))
             ev.add_batch(jax.device_get(out))
         return ev.summarize()
 
     step = int(jax.device_get(state.step))
+    step0 = step  # nonzero when resumed; rate/schedule math uses deltas
     summary = {}
     t_start = time.time()
     win_step, win_t = step, t_start
     done = False
-    for epoch in range(epochs):
-        if done:
+    for _ in range(epochs):
+        if done or step >= total_steps:
             break
-        # loss schedule: 'add' only during epoch 0, then add/add_s
-        use_symmetric = np.bool_("add_s" in loss and epoch >= 1)
+        # loss schedule: 'add' only during epoch 0, then add/add_s —
+        # derived from the GLOBAL step so a resumed run does not fall
+        # back to the epoch-0 ADD-only loss (reference train.py:204-219)
+        use_symmetric = np.bool_(
+            "add_s" in loss and step >= steps_per_epoch
+        )
         for sb in _prefetch_to_device(train_loader, to_device):
             state, metrics = train_step(state, sb, use_symmetric, rng)
             step += 1
@@ -234,7 +267,7 @@ def fit(
                         f"non-finite loss at step {step}: {m}"
                     )  # FailOnNonNumber equivalent (train.py:382)
                 now = time.time()
-                m["main/sps"] = step / (now - t_start)
+                m["main/sps"] = (step - step0) / (now - t_start)
                 # windowed rate excludes first-compile and eval pauses:
                 # the sustained input-pipeline + device throughput
                 m["main/sps_window"] = (step - win_step) / max(

@@ -263,10 +263,27 @@ def make_dp_eval_step(model, bank: CadPointBank, mesh, **kwargs):
     return jax.jit(sharded)
 
 
-def make_eval_step(model, bank: CadPointBank, with_occupancy: bool = False):
-    """Jittable eval step: deterministic sampling, best-confidence ADD."""
+def make_eval_step(
+    model,
+    bank: CadPointBank,
+    with_occupancy: bool = False,
+    transfer_schema=None,
+):
+    """Jittable eval step: deterministic sampling, best-confidence ADD.
+
+    With ``transfer_schema`` the batch arrives as one packed uint8
+    buffer (same single-buffer compressed transfer as the train step —
+    the uncompressed val path shipped ~1 GB of fp32 pcd per in-loop
+    eval through the 24 MB/s relay)."""
 
     def eval_step(params, batch):
+        if transfer_schema is not None:
+            from . import transfer as transfer_module
+
+            batch = transfer_schema.unpack(batch)
+            batch["pcd"] = transfer_module.reconstruct_pcd(
+                batch.pop("z"), batch.pop("pcd_coef")
+            )
         kwargs = dict(
             class_id=batch["class_id"],
             rgb=batch["rgb"],

@@ -122,40 +122,51 @@ class TransferSchema:
                 H, W, _ = shape
                 n_y = H * W
                 n_c = (H // 2) * (W // 2)
-                for b in range(B):
-                    ycc = cv2.cvtColor(arr[b], cv2.COLOR_RGB2YCrCb)
-                    dst[b, :n_y] = ycc[..., 0].ravel()
-                    # 2x2 mean-pool chroma (cheap, alias-free)
-                    cr = ycc[..., 1].reshape(H // 2, 2, W // 2, 2)
-                    cb = ycc[..., 2].reshape(H // 2, 2, W // 2, 2)
-                    dst[b, n_y : n_y + n_c] = (
-                        cr.mean((1, 3)).round().astype(np.uint8).ravel()
+                # one cvtColor over the whole batch (pixelwise op, so the
+                # (B*H, W) stacking is exact) — the per-example loop cost
+                # ~35 ms/batch of pure Python/cv2 dispatch on the 1-core
+                # host
+                ycc = cv2.cvtColor(
+                    arr.reshape(B * H, W, 3), cv2.COLOR_RGB2YCrCb
+                ).reshape(B, H, W, 3)
+                dst[:, :n_y] = ycc[..., 0].reshape(B, -1)
+                # 2x2 mean-pool chroma in uint16 integer arithmetic
+                # ((sum + 2) >> 2 == round(mean) for 4 samples); explicit
+                # strided slices — a 6-D sum(axis=(2, 4)) walks memory in
+                # an order ~12x slower on this host
+                for ch, lo in ((1, n_y), (2, n_y + n_c)):
+                    c16 = ycc[..., ch].reshape(
+                        B, H // 2, 2, W // 2, 2
+                    ).astype(np.uint16)
+                    s = (
+                        c16[:, :, 0, :, 0]
+                        + c16[:, :, 0, :, 1]
+                        + c16[:, :, 1, :, 0]
+                        + c16[:, :, 1, :, 1]
                     )
-                    dst[b, n_y + n_c :] = (
-                        cb.mean((1, 3)).round().astype(np.uint8).ravel()
+                    dst[:, lo : lo + n_c] = (
+                        ((s + 2) >> 2).astype(np.uint8).reshape(B, -1)
                     )
             elif kind == "q8":
                 H, W = shape
                 z = arr.reshape(B, -1).astype(np.float32)
-                finite = np.isfinite(z)
-                any_f = finite.any(axis=1)
-                zmin = np.where(
-                    any_f, np.where(finite, z, np.inf).min(axis=1), 0.0
-                )
-                zmax = np.where(
-                    any_f, np.where(finite, z, -np.inf).max(axis=1), 0.0
-                )
+                import warnings
+
+                with warnings.catch_warnings():
+                    # all-NaN rows are valid here (fully-truncated crops)
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    zmin = np.nanmin(z, axis=1)
+                    zmax = np.nanmax(z, axis=1)
+                bad = ~np.isfinite(zmin)
+                zmin[bad] = 0.0
+                zmax[bad] = 0.0
                 scale = np.maximum(zmax - zmin, 1e-6) / 254.0
-                q = np.where(
-                    finite,
-                    (
-                        np.clip(
-                            (z - zmin[:, None]) / scale[:, None], 0, 254
-                        )
-                    ).round() + 1.0,
-                    0.0,
-                ).astype(np.uint8)
-                dst[:, : H * W] = q
+                q = (z - zmin[:, None]) * (1.0 / scale)[:, None]
+                np.clip(q, 0.0, 254.0, out=q)
+                q += 1.0
+                np.rint(q, out=q)
+                q[~np.isfinite(z)] = 0.0  # NaN depth -> code 0
+                dst[:, : H * W] = q.astype(np.uint8)
                 head = dst[:, H * W :].view(np.float32)
                 head[:, 0] = zmin
                 head[:, 1] = scale
