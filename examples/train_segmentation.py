@@ -59,6 +59,10 @@ def main():
     )
     args = parser.parse_args()
 
+    # share synthesized frames across processes (a CPU process can
+    # pre-generate them while the device is busy; ~1 s/frame otherwise)
+    os.environ.setdefault("MFTPU_SEG_CACHE", "/root/data/segcache")
+
     import jax
     import numpy as np
     import optax

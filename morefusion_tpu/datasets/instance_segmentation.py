@@ -9,6 +9,8 @@ available via ``format='masks'`` for API parity.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..geometry.bbox import masks_to_bboxes
@@ -81,12 +83,40 @@ class SyntheticInstanceSegmentationDataset(DatasetBase):
         # regenerate identical frames (deterministic per index), so keep
         # them. Background compositing stays per-call (fresh texture draw).
         self._cache = {} if cache else None
+        # optional cross-process disk cache (MFTPU_SEG_CACHE=dir): frames
+        # are deterministic per (split, seed, shape, n_objects, index),
+        # so a CPU process can pre-generate them while the device trains
+        self._disk_dir = None
+        root = os.environ.get("MFTPU_SEG_CACHE")
+        if root:
+            key = (
+                f"{split}_s{seed}_{image_shape[0]}x{image_shape[1]}"
+                f"_o{n_objects[0]}-{n_objects[1]}"
+            )
+            self._disk_dir = os.path.join(root, key)
+            os.makedirs(self._disk_dir, exist_ok=True)
+
+    def _disk_frame(self, index):
+        """Load (or generate + atomically store) one raw frame on disk."""
+        path = os.path.join(self._disk_dir, f"{index:06d}.npz")
+        if os.path.exists(path):
+            with np.load(path) as f:
+                return {k: f[k] for k in f.files}
+        frame = self._frames.get_frame(index)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # file handle: savez must not append
+            np.savez(f, **frame)    # ".npz" to the tmp name (rename
+        os.replace(tmp, path)       # below would then miss it)
+        return frame
 
     def get_example(self, index):
         if self._cache is not None and index in self._cache:
             frame = self._cache[index]
         else:
-            frame = self._frames.get_frame(index)
+            if self._disk_dir is not None:
+                frame = self._disk_frame(index)
+            else:
+                frame = self._frames.get_frame(index)
             if self._cache is not None:
                 self._cache[index] = frame
         if self._composite is not None:
