@@ -139,7 +139,9 @@ def main():
             tag += f"_{base}"
         out_path = os.path.join(args.out_dir, f"eval_{tag}.json")
         with open(out_path, "w") as f:
-            json.dump({"morefusion": summary}, f, indent=2)
+            json.dump(
+                {"morefusion": summary, "records": ev.records()}, f, indent=2
+            )
         print(
             f"[{tag}] ADD(-S) AUC={summary['main/add_or_add_s/auc']:.4f} "
             f"ADD-S AUC={summary['main/add_s/auc']:.4f} "

@@ -255,8 +255,19 @@ def main():
             f"<2cm={s['main/add_or_add_s/<2cm']:.4f}"
         )
     if args.out:
+        dump = dict(summary)
+        dump["records"] = {
+            m: {
+                "class_id": [int(r["class_id"]) for r in recs],
+                **{
+                    k: [float(r[k]) for r in recs]
+                    for k in ("add", "add_s", "add_or_add_s")
+                },
+            }
+            for m, recs in records.items()
+        }
         with open(args.out, "w") as f:
-            json.dump(summary, f, indent=2)
+            json.dump(dump, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,20 @@ class Evaluator:
         adds = {k: np.concatenate(v) for k, v in self._records.items()}
         return summarize_records(class_ids, adds)
 
+    def records(self) -> Dict[str, list]:
+        """Per-instance records (json-serializable) for bootstrap CIs.
+
+        The reference publishes single-seed point estimates only; keeping
+        the raw per-crop ADD values lets reports resample them (paired
+        bootstrap over the shared val crops) instead of re-training seeds.
+        """
+        if not self._class_ids:
+            return {}
+        out = {"class_id": np.concatenate(self._class_ids).tolist()}
+        for k, v in self._records.items():
+            out[k] = np.concatenate(v).astype(float).tolist()
+        return out
+
     def reset(self) -> None:
         self._class_ids.clear()
         self._records.clear()

@@ -168,3 +168,72 @@ def test_batch_loader_multiprocess_matches_serial():
     for a, b in zip(serial, multi):
         np.testing.assert_array_equal(a["idx"], b["idx"])
         np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_evaluator_records_roundtrip():
+    """records() must serialize per-crop values losslessly and in order."""
+    ev = training.Evaluator()
+    ev.add_batch(
+        {
+            "class_id": np.array([1, 2]),
+            "add": np.array([0.01, 0.02]),
+            "add_s": np.array([0.005, 0.01]),
+        }
+    )
+    ev.add_batch(
+        {
+            "class_id": np.array([3]),
+            "add": np.array([0.03]),
+            "add_s": np.array([0.015]),
+        }
+    )
+    recs = ev.records()
+    assert recs["class_id"] == [1, 2, 3]
+    assert recs["add"] == pytest.approx([0.01, 0.02, 0.03])
+    # json-serializable (plain python scalars)
+    import json
+
+    json.dumps(recs)
+    # summarizing the records reproduces summarize()
+    s_direct = ev.summarize()
+    s_rec = training.summarize_records(
+        np.asarray(recs["class_id"]),
+        {k: np.asarray(v) for k, v in recs.items() if k != "class_id"},
+    )
+    for k, v in s_direct.items():
+        assert s_rec[k] == pytest.approx(v)
+
+
+def test_ablation_report_bootstrap_paired():
+    """Paired bootstrap: identical records across variants -> zero delta CI."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ablation_report",
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", "examples",
+            "ablation_report.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+    n = 64
+    rec = {
+        "class_id": rng.randint(1, 4, n).tolist(),
+        "add": np.abs(rng.randn(n) * 0.02).tolist(),
+    }
+    rec["add_s"] = (np.asarray(rec["add"]) * 0.5).tolist()
+    rec["add_or_add_s"] = rec["add"]
+    boot = mod._bootstrap({"a": rec, "b": dict(rec)}, n_boot=50)
+    for _, key in mod._METRICS:
+        d = boot["b"][key] - boot["a"][key]
+        assert np.all(d == 0.0)  # paired resampling kills shared noise
+
+    # misaligned class ids must be rejected, not silently mispaired
+    bad = dict(rec)
+    bad["class_id"] = list(reversed(rec["class_id"]))
+    with pytest.raises(ValueError):
+        mod._bootstrap({"a": rec, "b": bad}, n_boot=2)
