@@ -44,8 +44,10 @@ def record_sequence(out_dir, n_frames, n_objects, seed, image_shape):
         random_state=np.random.RandomState(seed),
     )
     gen.generate()
+    # interpolate() yields n_points TOTAL camera poses (not per segment):
+    # ask for exactly n_frames or the sequence silently comes out short
     traj = gen.random_camera_trajectory(
-        n_keypoints=6, n_points=max(2, n_frames // 5)
+        n_keypoints=6, n_points=max(2, n_frames)
     )[:n_frames]
     rec = SequenceRecorder(out_dir)
     for k, T_cam in enumerate(traj):
