@@ -106,6 +106,9 @@ def main():
                         help="run name of the no-occupancy model")
     parser.add_argument("--n-boot", type=int, default=1000,
                         help="bootstrap draws (0 = point estimates only)")
+    parser.add_argument("--easy-suffix", default="easyval_packed",
+                        help="dataset-basename suffix of the easy-val "
+                        "sweep files (see eval_sweep.py naming)")
     args = parser.parse_args()
     ROWS = rows_for(args.occ_run, args.noocc_run)
 
@@ -130,6 +133,29 @@ def main():
             f"| {s['main/add_s/auc']:.4f} "
             f"| {s['main/add_or_add_s/<2cm']:.4f} |"
         )
+
+    # easy-val continuity rows (round-2 comparable: 3-6 objects/scene)
+    easy = [
+        ("MF-occ (easy val)",
+         f"eval_{args.noocc_run}_observed_{args.easy_suffix}.json"),
+        ("MF (easy val)",
+         f"eval_{args.occ_run}_observed_{args.easy_suffix}.json"),
+    ]
+    easy = [(n, f) for n, f in easy
+            if os.path.exists(os.path.join(args.runs, f))]
+    if easy:
+        print()
+        print("| Easy val (3-6 obj) | ADD(-S) AUC | ADD-S AUC "
+              "| ADD(-S) <2cm |")
+        print("|---|---|---|---|")
+        for name, fname in easy:
+            with open(os.path.join(args.runs, fname)) as f:
+                s = json.load(f)["morefusion"]
+            print(
+                f"| {name} | {s['main/add_or_add_s/auc']:.4f} "
+                f"| {s['main/add_s/auc']:.4f} "
+                f"| {s['main/add_or_add_s/<2cm']:.4f} |"
+            )
 
     if args.n_boot and len(row_records) >= 2:
         boot = _bootstrap(row_records, n_boot=args.n_boot)
