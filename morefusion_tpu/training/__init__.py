@@ -13,6 +13,10 @@ from .evaluator import summarize_records
 from .reporting import LogReport
 from .reporting import load_args
 from .reporting import write_args
-from .checkpoints import CheckpointManager
+from .checkpoints import (
+    CheckpointManager,
+    export_params_npz,
+    import_params_npz,
+)
 from .data import BatchLoader
 from . import loop

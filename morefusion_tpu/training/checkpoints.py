@@ -64,5 +64,71 @@ class CheckpointManager:
         safe = metric_name.replace("/", "_")
         path = self._path(f"snapshot_model_best_{safe}")
         if not os.path.isdir(path):
+            # archival fallback: a bf16 npz committed to git survives the
+            # VM rebuilds that have twice destroyed orbax snapshot dirs
+            npz = path + ".npz"
+            if os.path.exists(npz):
+                return import_params_npz(target, npz)
             return None
         return self._ckpt.restore(path, target=jax.device_get(target))
+
+
+def export_params_npz(params: Any, path: str) -> None:
+    """Archive a params pytree as one compressed npz (~bf16-sized).
+
+    Float leaves are stored as bf16 (stored via a uint16 view — npz has
+    no native bf16); everything else raw. bf16 params are serving-grade
+    here: the bf16 inference path is validated accuracy-neutral on the
+    val set (docs/BENCH_NOTES.md). Purpose: a git-committable copy of a
+    trained checkpoint so evaluation survives environment wipes.
+    """
+    import ml_dtypes
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for kp, leaf in flat:
+        key = jax.tree_util.keystr(kp)
+        arr = np.asarray(jax.device_get(leaf))
+        if arr.dtype in (np.float32, np.float64):
+            out["bf16:" + key] = arr.astype(ml_dtypes.bfloat16).view(
+                np.uint16
+            )
+        else:
+            out["raw:" + key] = arr
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **out)
+    os.replace(tmp, path)
+
+
+def import_params_npz(template: Any, path: str) -> Any:
+    """Restore a pytree exported by :func:`export_params_npz`.
+
+    Leaves come back with the template's structure/shapes/dtypes (bf16
+    payloads are cast up to the template dtype).
+    """
+    import ml_dtypes
+
+    data = np.load(path)
+    flat_kp, _ = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, leaf in flat_kp:
+        key = jax.tree_util.keystr(kp)
+        tpl = np.asarray(leaf)
+        if "bf16:" + key in data:
+            arr = (
+                data["bf16:" + key]
+                .view(ml_dtypes.bfloat16)
+                .astype(tpl.dtype)
+            )
+        elif "raw:" + key in data:
+            arr = data["raw:" + key].astype(tpl.dtype)
+        else:
+            raise KeyError(f"{path} is missing leaf {key}")
+        if arr.shape != tpl.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: {arr.shape} vs {tpl.shape}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves
+    )

@@ -237,3 +237,41 @@ def test_ablation_report_bootstrap_paired():
     bad["class_id"] = list(reversed(rec["class_id"]))
     with pytest.raises(ValueError):
         mod._bootstrap({"a": rec, "b": bad}, n_boot=2)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """bf16 npz archive: structure-exact, bf16-accurate, int-exact."""
+    params = {
+        "dense": {
+            "kernel": np.linspace(-2, 2, 12, dtype=np.float32).reshape(3, 4),
+            "bias": np.zeros(4, np.float32),
+        },
+        "steps": np.arange(5, dtype=np.int32),
+    }
+    path = str(tmp_path / "p.npz")
+    training.export_params_npz(params, path)
+    back = training.import_params_npz(params, path)
+    assert back["dense"]["kernel"].dtype == np.float32
+    # bf16 has ~3 decimal digits; values here are exactly representable
+    # to 2^-7 relative
+    np.testing.assert_allclose(
+        back["dense"]["kernel"], params["dense"]["kernel"], rtol=1e-2
+    )
+    np.testing.assert_array_equal(back["steps"], params["steps"])
+
+    # restore_best falls back to the npz when the orbax dir is absent
+    mgr = training.CheckpointManager(str(tmp_path))
+    training.export_params_npz(
+        params, str(tmp_path / "snapshot_model_best_validation_main_auc.npz")
+    )
+    got = mgr.restore_best(params, "validation/main/auc")
+    assert got is not None
+    np.testing.assert_allclose(
+        got["dense"]["kernel"], params["dense"]["kernel"], rtol=1e-2
+    )
+
+    # a template leaf missing from the archive must raise, not zero-fill
+    bad = dict(params)
+    bad["extra"] = np.ones(2, np.float32)
+    with pytest.raises(KeyError):
+        training.import_params_npz(bad, path)
