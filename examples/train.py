@@ -79,6 +79,13 @@ def main():
     parser.add_argument("--n-point", type=int, default=1000)
     parser.add_argument("--eval-interval", type=float, default=0.25,
                         help="epochs between evaluations")
+    parser.add_argument(
+        "--rss-exit-gb", type=float, default=0.0,
+        help="exit cleanly (code 42, checkpoint saved) when host RSS "
+        "exceeds this budget — the TPU relay client leaks a host copy "
+        "of every H2D transfer (~3 MB/step), so long runs must be "
+        "split across process lives; relaunch with --resume",
+    )
     args = parser.parse_args()
 
     from morefusion_tpu import datasets, models, training
@@ -175,28 +182,37 @@ def main():
     else:
         model = models.PoseNet(n_fg_class=n_fg_class, n_point=args.n_point)
 
-    state, summary = training.loop.fit(
-        model=model,
-        models_bank=models_bank,
-        train_dataset=train_ds,
-        val_dataset=val_ds,
-        out_dir=args.out,
-        transform_train=Transform(train=True, with_occupancy=with_occupancy),
-        transform_val=Transform(train=False, with_occupancy=with_occupancy),
-        n_fg_class=n_fg_class,
-        batch_size=args.batch_size,
-        epochs=args.epochs,
-        learning_rate=args.lr,
-        loss=args.loss,
-        with_occupancy=with_occupancy,
-        eval_interval=args.eval_interval,
-        seed=args.seed,
-        resume=args.resume,
-        max_steps=args.max_steps,
-        args_dict=vars(args),
-        num_workers=args.num_workers,
-        device_augment=device_augment,
-    )
+    try:
+        state, summary = training.loop.fit(
+            model=model,
+            models_bank=models_bank,
+            train_dataset=train_ds,
+            val_dataset=val_ds,
+            out_dir=args.out,
+            transform_train=Transform(
+                train=True, with_occupancy=with_occupancy
+            ),
+            transform_val=Transform(
+                train=False, with_occupancy=with_occupancy
+            ),
+            n_fg_class=n_fg_class,
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            learning_rate=args.lr,
+            loss=args.loss,
+            with_occupancy=with_occupancy,
+            eval_interval=args.eval_interval,
+            seed=args.seed,
+            resume=args.resume,
+            max_steps=args.max_steps,
+            args_dict=vars(args),
+            num_workers=args.num_workers,
+            device_augment=device_augment,
+            rss_exit_gb=args.rss_exit_gb,
+        )
+    except training.loop.LeakBudgetExit as e:
+        print(f"leak-budget exit: {e}")
+        raise SystemExit(42)
     print("final summary:", {k: round(v, 4) for k, v in summary.items() if k.count("/") <= 2})
 
 

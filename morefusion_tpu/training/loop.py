@@ -33,6 +33,25 @@ from .trainer import (
 from .transfer import TransferSchema
 
 
+class LeakBudgetExit(Exception):
+    """Raised after a clean checkpoint save when host RSS crosses the
+    budget — the relay client leaks a host-side copy of every H2D
+    transfer (~payload bytes per train step, measured ~2.9 MB/step),
+    so a 30-epoch run exhausts memory in one process life. The driver
+    (chain script) relaunches with ``--resume``; exit code 42."""
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def _reconstruct_pcd_np(batch: dict) -> dict:
     """Host twin of ``transfer.reconstruct_pcd`` for init-time examples."""
     batch = dict(batch)
@@ -129,6 +148,7 @@ def fit(
     num_workers: int = 0,
     device_augment: bool = False,
     val_batch_size: Optional[int] = None,
+    rss_exit_gb: float = 0.0,
 ):
     """Train; returns (state, final eval summary)."""
     is_primary = jax.process_index() == 0
@@ -302,6 +322,21 @@ def fit(
                         mode="max",
                     )
                 win_step, win_t = step, time.time()
+                # leak-budget restart point: latest was just saved, so
+                # exiting here loses no optimizer state (single-process
+                # only: RSS is host-local and a divergent exit would
+                # deadlock multi-host collectives)
+                if (
+                    rss_exit_gb
+                    and jax.process_count() == 1
+                    and step < total_steps
+                    and _rss_gb() > rss_exit_gb
+                ):
+                    raise LeakBudgetExit(
+                        f"RSS {_rss_gb():.1f} GB > {rss_exit_gb} GB "
+                        f"at step {step}; checkpoint saved, relaunch "
+                        f"with --resume"
+                    )
 
             if step >= total_steps:
                 done = True
