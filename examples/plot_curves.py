@@ -68,6 +68,7 @@ def main():
     )
     for ax, (key, title) in zip(axes, METRICS):
         ax.set_facecolor(SURFACE)
+        ends = []
         for name, log_path in runs.items():
             pts = eval_points(log_path, key)
             if not pts:
@@ -77,14 +78,24 @@ def main():
                 xs, ys, color=SERIES[name], lw=2,
                 label=LABELS[name], solid_capstyle="round",
             )
-            # selective direct label: series name at the last point
-            ax.annotate(
-                f" {ys[-1]:.3f}",
-                (xs[-1], ys[-1]),
-                color=SERIES[name],
-                fontsize=8,
-                va="center",
-            )
+            ends.append((name, xs[-1], ys[-1]))
+        # selective direct end labels, nudged apart when they collide
+        if ends:
+            lo_lim, hi_lim = ax.get_ylim()
+            span = (hi_lim - lo_lim) or 1.0
+            order = sorted(range(len(ends)), key=lambda i: ends[i][2])
+            offs = [0.0] * len(ends)
+            for rank in range(1, len(order)):
+                lo, hi = order[rank - 1], order[rank]
+                gap = (ends[hi][2] + offs[hi]) - (ends[lo][2] + offs[lo])
+                min_gap = 0.06 * span
+                if gap < min_gap:
+                    offs[hi] += min_gap - gap
+            for (name, x, y), off in zip(ends, offs):
+                ax.annotate(
+                    f" {y:.3f}", (x, y + off), color=SERIES[name],
+                    fontsize=8, va="center",
+                )
         ax.set_title(title, color=TEXT, fontsize=11)
         ax.set_xlabel("epoch", color=TEXT_2, fontsize=9)
         ax.tick_params(colors=TEXT_2, labelsize=8)
