@@ -143,6 +143,7 @@ def main():
     ]
     easy = [(n, f) for n, f in easy
             if os.path.exists(os.path.join(args.runs, f))]
+    easy_records = {}
     if easy:
         print()
         print("| Easy val (3-6 obj) | ADD(-S) AUC | ADD-S AUC "
@@ -150,20 +151,23 @@ def main():
         print("|---|---|---|---|")
         for name, fname in easy:
             with open(os.path.join(args.runs, fname)) as f:
-                s = json.load(f)["morefusion"]
+                blob = json.load(f)
+            s = blob["morefusion"]
+            if blob.get("records"):
+                easy_records[name] = blob["records"]
             print(
                 f"| {name} | {s['main/add_or_add_s/auc']:.4f} "
                 f"| {s['main/add_s/auc']:.4f} "
                 f"| {s['main/add_or_add_s/<2cm']:.4f} |"
             )
 
-    if args.n_boot and len(row_records) >= 2:
-        boot = _bootstrap(row_records, n_boot=args.n_boot)
+    def print_boot(records, title):
+        boot = _bootstrap(records, n_boot=args.n_boot)
         names = list(boot.keys())
         base = names[0]  # MF-occ row
         print()
         print(
-            f"Paired bootstrap (n={args.n_boot}, 95% CI; "
+            f"{title} (n={args.n_boot}, 95% CI; "
             f"delta rows are vs `{base}` on identical crops):"
         )
         print("| Variant | " + " | ".join(m for m, _ in _METRICS) + " |")
@@ -182,6 +186,11 @@ def main():
                 sig = "*" if lo > 0 or hi < 0 else " "
                 cells.append(f"{np.mean(d):+.4f} [{lo:+.4f}, {hi:+.4f}]{sig}")
             print(f"| delta {name} | " + " | ".join(cells) + " |")
+
+    if args.n_boot and len(row_records) >= 2:
+        print_boot(row_records, "Paired bootstrap")
+    if args.n_boot and len(easy_records) >= 2:
+        print_boot(easy_records, "Paired bootstrap, easy val")
 
 
 if __name__ == "__main__":
