@@ -159,14 +159,22 @@ class SceneGenerationBase:
         contained = ((points_world >= lo) & (points_world <= hi)).all(axis=1)
         return contained.mean() > 0.95
 
-    def _clearance(self, points_world: np.ndarray) -> np.ndarray:
+    def _clearance(
+        self, points_world: np.ndarray, bsphere=None
+    ) -> np.ndarray:
         """Per-point distance to the nearest obstacle (plane + placed).
 
         Positive = free space, negative = penetration. 1-Lipschitz by
         construction (min of 1-Lipschitz fields), so it sphere-traces.
+        ``bsphere=(center, radius)`` of the query set prunes placed
+        objects whose own bounding sphere cannot intersect it.
         """
         c = points_world[:, 2].copy()
         for obj in self.objects.values():
+            if bsphere is not None and "bsphere" in obj:
+                oc, orad = obj["bsphere"]
+                if np.linalg.norm(bsphere[0] - oc) > bsphere[1] + orad + 0.02:
+                    continue
             shape = self._models.get_shape(obj["class_id"])
             T = obj["T_cad2world"]
             R, t = T[:3, :3], T[:3, 3]
@@ -197,6 +205,7 @@ class SceneGenerationBase:
         """
         T = T.copy()
         com_local = surface.mean(axis=0)
+        radius = float(np.linalg.norm(surface - com_local, axis=1).max())
         contact_tol = rest_eps + 0.002
         balance_tol = 0.002
         stale = 0
@@ -208,18 +217,28 @@ class SceneGenerationBase:
         ]
         placed_all = np.concatenate(placed) if placed else None
 
+        def center_of(T):
+            return T[:3, :3] @ com_local + T[:3, 3]
+
         def reverse_sdf(T):
-            """Candidate's SDF sampled at the placed objects' surfaces."""
+            """Candidate's SDF sampled at the nearby placed surfaces."""
             if placed_all is None:
                 return None
-            local = (placed_all - T[:3, 3]) @ T[:3, :3]
-            return shape.sdf(local)
+            near = placed_all[
+                np.linalg.norm(placed_all - center_of(T), axis=1)
+                < radius + 0.02
+            ]
+            if len(near) == 0:
+                return None
+            return near, shape.sdf((near - T[:3, 3]) @ T[:3, :3])
 
         def min_clearance(T, pts):
-            c = float(self._clearance(pts).min())
+            c = float(
+                self._clearance(pts, bsphere=(center_of(T), radius)).min()
+            )
             rev = reverse_sdf(T)
             if rev is not None:
-                c = min(c, float(rev.min()))
+                c = min(c, float(rev[1].min()))
             return c
 
         def drop_to_contact(T):
@@ -239,12 +258,13 @@ class SceneGenerationBase:
 
         for _ in range(max_tips):
             T, pts = drop_to_contact(T)
-            c = self._clearance(pts)
+            c = self._clearance(pts, bsphere=(center_of(T), radius))
             contacts = pts[c < contact_tol]
             rev = reverse_sdf(T)
             if rev is not None:
+                near, rsdf = rev
                 contacts = np.concatenate(
-                    [contacts, placed_all[rev < contact_tol]]
+                    [contacts, near[rsdf < contact_tol]]
                 )
             if len(contacts) == 0:
                 contacts = pts[c < c.min() + 1e-3]
@@ -284,15 +304,23 @@ class SceneGenerationBase:
             return None
         return T
 
+    _surface_cache: Dict[int, np.ndarray] = {}
+
+    def _class_surface(self, class_id: int, shape) -> np.ndarray:
+        key = (type(self._models).__name__, class_id)
+        if key not in SceneGenerationBase._surface_cache:
+            SceneGenerationBase._surface_cache[key] = shape.sample_surface(
+                500, np.random.RandomState(class_id)
+            )
+        return SceneGenerationBase._surface_cache[key]
+
     def generate(self, max_trials_per_object: int = 30) -> None:
         instance_id = 0
         pile_top = 0.0
         for _ in range(self._n_object):
             class_id = int(self._rng.choice(self._class_ids))
             shape = self._models.get_shape(class_id)
-            surface = shape.sample_surface(
-                500, np.random.RandomState(class_id)
-            )
+            surface = self._class_surface(class_id, shape)
             for _trial in range(max_trials_per_object):
                 T = _random_rotation(self._rng)
                 half = self._extents / 2.0 * 0.7
@@ -316,8 +344,15 @@ class SceneGenerationBase:
                         continue
                     if not self._is_contained(pts):
                         continue
+                center = pts.mean(axis=0)
                 self.objects[instance_id] = dict(
-                    class_id=class_id, T_cad2world=T, surface_world=pts
+                    class_id=class_id,
+                    T_cad2world=T,
+                    surface_world=pts,
+                    bsphere=(
+                        center,
+                        float(np.linalg.norm(pts - center, axis=1).max()),
+                    ),
                 )
                 pile_top = max(pile_top, float(pts[:, 2].max()))
                 instance_id += 1
