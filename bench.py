@@ -3,19 +3,57 @@
 Headline metric vs. the driver-set target (BASELINE.json north star):
 >= 30 FPS single-view prediction with the full flagship model
 (SingleView3D + occupancy branch, 256x256 instance crop, 1000 points,
-32^3 grid). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/30}
+32^3 grid). Prints ONE JSON line.
 
-Run with no args on the TPU host. ``--quick`` shrinks iterations for
-smoke-testing on CPU.
+Trustworthiness (VERDICT r3 item 4): by default this script is an
+orchestrator — it re-executes itself ``--runs`` times (default 5) in
+FRESH processes with a persistent XLA compilation cache, and reports
+the MEDIAN with min/max spread plus an achieved-TFLOP/s / MFU figure
+from XLA cost analysis. Cross-process relay variance (the 257->198 FPS
+"regression" between rounds 1 and 3 was exactly this) is thereby
+bounded in every committed number:
+  {"metric": ..., "value": <median>, "unit": ..., "vs_baseline": ...,
+   "spread": {"min": ..., "max": ..., "runs": N},
+   "tflops": ..., "mfu": ...}
+
+``--single`` runs one in-process measurement (what each subprocess
+does). ``--metric train`` measures the full fp32 train step (batch 16)
+instead of inference. ``--quick`` shrinks iterations for CPU smoke.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# TPU v5e peak (bf16 dense): the MFU denominator for every metric.
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _flops_of(lowered_compiled):
+    """flops from XLA cost analysis (dict or [dict] across versions)."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _emit(metric, value, unit, baseline, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }
+    rec.update(extra or {})
+    print(json.dumps(rec))
 
 
 def bench_icc(args):
@@ -52,16 +90,8 @@ def bench_icc(args):
         out = refine_collision(q0, ts[k + 1], **base, iterations=30)
         _ = jax.device_get(out[1])
     dt = (time.perf_counter() - t0) / args.iters
-    iters_per_s = 30.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "icc_refinement_iters_per_s",
-                "value": round(iters_per_s, 2),
-                "unit": "iters/s",
-                "vs_baseline": round(iters_per_s / 100.0, 3),
-            }
-        )
+    _emit(
+        "icc_refinement_iters_per_s", 30.0 / dt, "iters/s", 100.0
     )
     return 0
 
@@ -189,51 +219,67 @@ def bench_pipeline(args):
         n += len(out)
     pipe.flush_refine()
     dt = (time.perf_counter() - t0) / args.iters
-    print(
-        json.dumps(
-            {
-                "metric": "scene_pipeline_fps",
-                "value": round(1.0 / dt, 2),
-                "unit": "fps",
-                "vs_baseline": round(1.0 / dt / 10.0, 3),
-            }
-        )
-    )
+    _emit("scene_pipeline_fps", 1.0 / dt, "fps", 10.0)
     return 0
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=50)
-    parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--batch-size", type=int, default=1)
-    parser.add_argument("--quick", action="store_true")
-    parser.add_argument(
-        "--metric", default="fps", choices=["fps", "icc", "pipeline"],
-        help="headline metric (fps), refinement throughput (icc), or "
-        "full scene-pipeline FPS (pipeline)",
-    )
-    parser.add_argument(
-        "--segmenter", default=None,
-        help="(pipeline metric) UNet checkpoint dir: run the pipeline "
-        "with predicted instance masks instead of GT labels",
-    )
-    parser.add_argument(
-        "--fp32", action="store_true",
-        help="fp32 activation compute instead of the bf16 serving "
-        "default (bf16 is ~1.5x faster and measured accuracy-neutral: "
-        "identical ADD AUC / <2cm on the validation set)",
-    )
-    args = parser.parse_args()
-    if args.quick:
-        args.iters, args.warmup = 3, 1
-    if args.metric == "icc":
-        args.iters = min(args.iters, 15)
-        return bench_icc(args)
-    if args.metric == "pipeline":
-        args.iters = min(args.iters, 12)
-        return bench_pipeline(args)
+def bench_train(args):
+    """Train-step metric: full fp32 flagship train step (batch 16,
+    occupancy branch + occupancy loss term) — ms/step + MFU."""
+    import jax
 
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from examples.profile_train import make_batch
+
+    from morefusion_tpu import models
+    from morefusion_tpu.datasets import ProceduralModels
+    from morefusion_tpu.training import trainer as trainer_module
+
+    B = args.batch_size if args.batch_size > 1 else 16
+    batch = make_batch(B)
+    bank = trainer_module.CadPointBank.build(
+        ProceduralModels(), 21, with_solid=True
+    )
+    model = models.SingleView3D(n_fg_class=21, with_occupancy=True)
+    rng = jax.random.PRNGKey(0)
+    state = trainer_module.create_train_state(
+        model, batch, rng, with_occupancy=True
+    )
+    step = trainer_module.make_train_step(
+        model, bank, with_occupancy=True, occupancy_loss_term=True
+    )
+    jb = {k: np.asarray(v) for k, v in batch.items()}
+    sym = np.bool_(True)
+
+    jstep = jax.jit(step)
+    flops = _flops_of(jstep.lower(state, jb, sym, rng).compile())
+
+    state, m = jstep(state, jb, sym, rng)
+    jax.device_get(m["loss"])
+    for _ in range(args.warmup):
+        state, m = jstep(state, jb, sym, rng)
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = jstep(state, jb, sym, rng)
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    extra = {}
+    if flops:
+        tf = flops / dt / 1e12
+        extra = {
+            "tflops": round(tf, 2),
+            "mfu": round(tf / PEAK_TFLOPS_BF16, 4),
+        }
+    # target: VERDICT r3 item 7 — fp32 train step <= 160 ms
+    _emit("train_step_ms", dt * 1e3, "ms", 160.0, extra)
+    return 0
+
+
+def bench_fps(args):
     import jax
     import jax.numpy as jnp
 
@@ -269,6 +315,7 @@ def main():
 
     # device-resident inputs so we measure compute, not H2D
     inputs = jax.device_put((params, class_id, rgb, pcd, pitch, grid))
+    flops = _flops_of(predict.lower(*inputs).compile())
 
     # NOTE: jax.block_until_ready does not reliably block through the
     # remote TPU relay in this environment; a device->host readback does.
@@ -283,18 +330,112 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = args.iters * B / dt
-    baseline = 30.0  # driver target: >=30 FPS single-view prediction
-    print(
-        json.dumps(
-            {
-                "metric": "pose_inference_fps",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / baseline, 3),
-            }
-        )
-    )
+    extra = {}
+    if flops:
+        tf = flops * args.iters / dt / 1e12
+        extra = {
+            "tflops": round(tf, 2),
+            "mfu": round(tf / PEAK_TFLOPS_BF16, 4),
+        }
+    # driver target: >=30 FPS single-view prediction
+    _emit("pose_inference_fps", fps, "fps", 30.0, extra)
     return 0
+
+
+def orchestrate(args, argv):
+    """Median-of-N fresh-process runs with a shared compilation cache."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    cmd = [sys.executable, os.path.abspath(__file__), "--single"] + argv
+    records = []
+    for k in range(args.runs):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+                timeout=1800,
+            )
+            line = [
+                ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ][-1]
+            records.append(json.loads(line))
+        except Exception as e:  # one bad relay run must not kill the bench
+            print(f"[bench] run {k} failed: {e!r}", file=sys.stderr)
+    if not records:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                          "vs_baseline": 0}))
+        return 1
+    vals = sorted(r["value"] for r in records)
+    med = vals[len(vals) // 2] if len(vals) % 2 else 0.5 * (
+        vals[len(vals) // 2 - 1] + vals[len(vals) // 2]
+    )
+    r0 = records[0]
+    baseline = r0["value"] / r0["vs_baseline"] if r0["vs_baseline"] else 1.0
+    extra = {
+        "spread": {
+            "min": vals[0], "max": vals[-1], "runs": len(records),
+        }
+    }
+    for key in ("tflops", "mfu"):
+        kv = sorted(r[key] for r in records if key in r)
+        if kv:
+            extra[key] = kv[len(kv) // 2]
+    _emit(r0["metric"], med, r0["unit"], baseline, extra)
+    return 0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--runs", type=int, default=None,
+        help="fresh-process repetitions to median over (default 5; "
+        "3 for the heavier pipeline/train metrics)",
+    )
+    parser.add_argument(
+        "--single", action="store_true",
+        help="one in-process measurement (no subprocess median)",
+    )
+    parser.add_argument(
+        "--metric", default="fps",
+        choices=["fps", "icc", "pipeline", "train"],
+        help="headline metric (fps), refinement throughput (icc), "
+        "full scene-pipeline FPS (pipeline), or train-step ms (train)",
+    )
+    parser.add_argument(
+        "--segmenter", default=None,
+        help="(pipeline metric) UNet checkpoint dir: run the pipeline "
+        "with predicted instance masks instead of GT labels",
+    )
+    parser.add_argument(
+        "--fp32", action="store_true",
+        help="fp32 activation compute instead of the bf16 serving "
+        "default (bf16 is ~1.5x faster and measured accuracy-neutral: "
+        "identical ADD AUC / <2cm on the validation set)",
+    )
+    args = parser.parse_args()
+    if args.runs is None:
+        args.runs = 3 if args.metric in ("pipeline", "train") else 5
+    if not args.single:
+        argv = [a for a in sys.argv[1:] if a != "--single"]
+        return orchestrate(args, argv)
+    if args.quick:
+        args.iters, args.warmup = 3, 1
+    if args.metric == "icc":
+        args.iters = min(args.iters, 15)
+        return bench_icc(args)
+    if args.metric == "pipeline":
+        args.iters = min(args.iters, 12)
+        return bench_pipeline(args)
+    if args.metric == "train":
+        args.iters = min(args.iters, 20)
+        args.warmup = min(args.warmup, 3)
+        return bench_train(args)
+    return bench_fps(args)
 
 
 if __name__ == "__main__":
