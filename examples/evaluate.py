@@ -44,6 +44,18 @@ def main():
         "--batch-size", type=int, default=16,
         help="batched fast path for refinement-free methods",
     )
+    parser.add_argument(
+        "--icc-protocol", default="joint", choices=["joint", "single"],
+        help="joint: refine all objects of a frame together (the "
+        "reference protocol - cross-object collision terms fire); "
+        "single: per-crop N=1 (rounds 1-3 behavior, for comparison)",
+    )
+    parser.add_argument(
+        "--icc-cross-mode", default="resample",
+        choices=["resample", "exact"],
+        help="cross-object inside-grid construction (see contrib."
+        "collision_refine.icc_loss)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -111,7 +123,6 @@ def main():
     eval_step = jax.jit(
         training.make_eval_step(model, bank, with_occupancy=with_occupancy)
     )
-    predict = jax.jit(lambda p, **kw: model.apply(p, **kw))
 
     n = len(ds) if args.n_examples is None else min(args.n_examples, len(ds))
     records = {m: [] for m in args.methods}
@@ -157,54 +168,86 @@ def main():
         for m in fast_methods[1:]:
             records[m] = list(records["morefusion"])
 
-    _t0 = _time.time()
-    for index in range(n if slow_methods else 0):
-        if index and index % 25 == 0:
-            rate = index / (_time.time() - _t0)
-            print(
-                f"  {index}/{n} ({rate:.2f} ex/s)", flush=True
+    # ---- refinement methods: one shared protocol -------------------
+    #
+    # 1. ONE batched prediction pass produces the best-confidence pose
+    #    per crop (identical inputs/sampling to the fast path above), so
+    #    every method in the table starts from the same raw poses.
+    # 2. Crops are grouped by FRAME and all N objects of a frame are
+    #    refined JOINTLY by ICC — the reference protocol (the ROS driver
+    #    batches every live object into one IterativeCollisionCheckLink,
+    #    ``collision_based_pose_refinement.py:108-211``; each object's
+    #    no-entry grid gains the other objects' inside-grids,
+    #    ``iterative_collision_check_link.py:65-85``). ``--icc-protocol
+    #    single`` keeps the old per-crop N=1 variant for comparison.
+    # 3. All refined methods (and the ``morefusion(host)`` cross-check
+    #    row) are scored identically on the host: full CAD point cloud,
+    #    ``metrics.average_distance``.
+    if slow_methods:
+        # frame grouping from the packed index's "frame/instance" ids
+        if hasattr(ds, "example_ids"):
+            ex_ids = ds.example_ids
+        else:  # no frame identity -> every crop is its own scene
+            ex_ids = [str(i) for i in range(len(ds))]
+        frames = {}
+        for i in range(n):
+            frames.setdefault(ex_ids[i].split("/")[0], []).append(i)
+
+        # shared prediction pass (batched; argmax-confidence per crop)
+        @jax.jit
+        def predict_best(params, batch):
+            kwargs = dict(
+                class_id=batch["class_id"], rgb=batch["rgb"],
+                pcd=batch["pcd"], pitch=batch["pitch"],
             )
-        ex = transform(ds[index])
-        batch = {
-            k: np.asarray(v)[None]
-            for k, v in ex.items()
-            if k in (
-                "class_id", "rgb", "pcd", "quaternion_true",
-                "translation_true", "pitch", "origin",
-                "grid_target", "grid_nontarget_empty",
-            )
-        }
-        batch["rgb"] = batch["rgb"].astype(np.float32)
-        if "pitch" not in batch:
-            batch["pitch"] = np.asarray(
-                [models_bank.get_voxel_pitch(32, int(ex["class_id"]))],
-                np.float32,
-            )
-        kwargs = dict(
-            class_id=batch["class_id"], rgb=batch["rgb"], pcd=batch["pcd"],
-            pitch=batch["pitch"],
+            if with_occupancy:
+                kwargs["origin"] = batch["origin"]
+                kwargs["grid_nontarget_empty"] = batch[
+                    "grid_nontarget_empty"
+                ]
+            quat, trans, conf = model.apply(params, **kwargs)
+            import jax.numpy as jnp
+
+            b = jnp.argmax(conf, axis=1)
+            ar = jnp.arange(quat.shape[0])
+            return quat[ar, b], trans[ar, b]
+
+        loader_p = training.BatchLoader(
+            ds, args.batch_size, transform, shuffle=False,
+            indices=np.arange(n), drop_last=False,
         )
-        if with_occupancy:
-            kwargs["origin"] = batch.get("origin")
-            kwargs["grid_nontarget_empty"] = batch[
-                "grid_nontarget_empty"
-            ].astype(np.float32)
-        quat, trans, conf = map(np.asarray, predict(params, **kwargs))
-        best = int(np.argmax(conf[0]))
-        T_pred = np.asarray(
-            transformation_matrix(quat[0, best], trans[0, best])
-        ).astype(np.float64)
-        T_true = np.asarray(
-            transformation_matrix(
-                ex["quaternion_true"], ex["translation_true"]
-            )
-        ).astype(np.float64)
+        q_pred = np.zeros((n, 4), np.float32)
+        t_pred = np.zeros((n, 3), np.float32)
+        done = 0
+        for batch in loader_p:
+            B = len(batch["class_id"])
+            if B < args.batch_size:
+                pad = [0] * (args.batch_size - B)
+                take = list(range(B)) + pad
+                batch = {k: np.asarray(v)[take] for k, v in batch.items()}
+            batch["rgb"] = batch["rgb"].astype(np.float32)
+            if with_occupancy:
+                batch["grid_nontarget_empty"] = batch[
+                    "grid_nontarget_empty"
+                ].astype(np.float32)
+            q, t = map(np.asarray, predict_best(params, batch))
+            q_pred[done:done + B] = q[:B]
+            t_pred[done:done + B] = t[:B]
+            done += B
+        T_pred_all = np.zeros((n, 4, 4))
+        for i in range(n):
+            T_pred_all[i] = np.asarray(
+                transformation_matrix(q_pred[i], t_pred[i])
+            ).astype(np.float64)
 
-        class_id = int(ex["class_id"])
-        cad = models_bank.get_pcd(class_id)
-        is_sym = class_id in class_ids_symmetric
+        want_icc = any("icc" in m for m in slow_methods)
+        host_raw = "morefusion(host)"
+        if host_raw not in records:
+            records[host_raw] = []
 
-        def record(method, T):
+        def record(method, index, class_id, T_true, T):
+            cad = models_bank.get_pcd(class_id)
+            is_sym = class_id in class_ids_symmetric
             add, add_s = metrics.average_distance([cad], [T_true], [T])
             records[method].append(
                 dict(
@@ -215,29 +258,88 @@ def main():
                 )
             )
 
-        for method in slow_methods:
-            T = T_pred.copy()
-            if "icc" in method:
-                vox = models_bank.get_solid_voxel_grid(class_id)
-                icc = IterativeCollisionCheck(
-                    [T],
-                    [vox.points.astype(np.float32)],
-                    [vox.inside_distance.astype(np.float32)],
-                    [float(batch["pitch"][0])],
-                    [np.asarray(ex.get("origin", np.zeros(3)), np.float64)],
-                    np.asarray(ex["grid_target"], np.float32)[None],
-                    np.asarray(
-                        ex["grid_nontarget_empty"], np.float32
-                    )[None],
-                    max_points=2048,
+        _t0 = _time.time()
+        for fi, (frame, idxs) in enumerate(frames.items()):
+            if fi and fi % 10 == 0:
+                rate = fi / (_time.time() - _t0)
+                print(
+                    f"  [refine] frame {fi}/{len(frames)} "
+                    f"({rate:.2f} frames/s)", flush=True,
                 )
-                (T,), _, _ = icc.refine(iterations=30)
-            if "icp" in method:
+            exs = [transform(ds[i]) for i in idxs]
+            T_true_l = [
+                np.asarray(
+                    transformation_matrix(
+                        ex["quaternion_true"], ex["translation_true"]
+                    )
+                ).astype(np.float64)
+                for ex in exs
+            ]
+
+            T_icc = None
+            if want_icc:
+                if args.icc_protocol == "joint":
+                    groups = [list(range(len(idxs)))]
+                else:  # "single": each object refined alone (old path)
+                    groups = [[k] for k in range(len(idxs))]
+                T_icc = [None] * len(idxs)
+                for group in groups:
+                    Ts0, pts_l, sdf_l, pitch_l, origin_l = [], [], [], [], []
+                    g_t, g_ne = [], []
+                    for k in group:
+                        ex = exs[k]
+                        cid = int(ex["class_id"])
+                        vox = models_bank.get_solid_voxel_grid(cid)
+                        Ts0.append(T_pred_all[idxs[k]])
+                        pts_l.append(vox.points.astype(np.float32))
+                        sdf_l.append(
+                            vox.inside_distance.astype(np.float32)
+                        )
+                        pitch_l.append(float(ex["pitch"]))
+                        origin_l.append(
+                            np.asarray(
+                                ex.get("origin", np.zeros(3)), np.float64
+                            )
+                        )
+                        g_t.append(np.asarray(ex["grid_target"], np.float32))
+                        g_ne.append(
+                            np.asarray(
+                                ex["grid_nontarget_empty"], np.float32
+                            )
+                        )
+                    icc = IterativeCollisionCheck(
+                        Ts0, pts_l, sdf_l, pitch_l, origin_l,
+                        np.stack(g_t), np.stack(g_ne),
+                        max_points=2048, cross_mode=args.icc_cross_mode,
+                    )
+                    refined, _, _ = icc.refine(iterations=30)
+                    for j, k in enumerate(group):
+                        T_icc[k] = refined[j]
+
+            for k, i in enumerate(idxs):
+                ex = exs[k]
+                cid = int(ex["class_id"])
+                T_true = T_true_l[k]
+                record(host_raw, i, cid, T_true, T_pred_all[i])
+
                 mask = ~np.isnan(ex["pcd"]).any(axis=2)
                 depth_points = ex["pcd"][mask]
-                if len(depth_points) > 10:
-                    T = ICPRegistration(depth_points, cad, T).register()
-            record(method, T)
+
+                def icp(T):
+                    if len(depth_points) > 10:
+                        return ICPRegistration(
+                            depth_points, models_bank.get_pcd(cid), T
+                        ).register()
+                    return T
+
+                for method in slow_methods:
+                    if "icc" in method:
+                        T = T_icc[k].copy()
+                    else:
+                        T = T_pred_all[i].copy()
+                    if "icp" in method:
+                        T = icp(T)
+                    record(method, i, cid, T_true, T)
 
     print(f"evaluated {n} examples")
     summary = {}

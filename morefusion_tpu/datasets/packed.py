@@ -235,6 +235,20 @@ class PackedPoseDataset(DatasetBase):
         self._indices = np.nonzero(keep)[0]
         self._ids = list(range(len(self._indices)))
 
+    @property
+    def example_ids(self):
+        """Original ``frame/instance`` string ids (filter-aligned).
+
+        The joint multi-object eval protocol groups crops by the frame
+        component to refine all of a scene's objects together (reference
+        ``collision_based_pose_refinement.py:108-211`` batches every live
+        object of the stream into one IterativeCollisionCheckLink)."""
+        import json
+
+        with open(os.path.join(self._root_dir, "index.json")) as f:
+            all_ids = json.load(f)["ids"]
+        return [all_ids[i] for i in self._indices]
+
     def load_batch(self, indices) -> dict:
         """Raw stacked batch (bool grids; rgb uint8) by fancy indexing."""
         idx = self._indices[np.asarray(indices, dtype=np.int64)]
