@@ -1,44 +1,65 @@
-"""Camera-trajectory helpers: greedy KD sort + spline interpolation.
+"""Camera-trajectory helpers: greedy path ordering + spline interpolation.
 
-Reference: ``morefusion/geometry/trajectory.py:5-53``.
+Role parity with ``morefusion/geometry/trajectory.py:5-53`` (greedy
+nearest-neighbor waypoint ordering feeding spline interpolation for
+synthetic camera paths), reimplemented vectorized: trajectories are tens
+of waypoints, so one O(N^2) pairwise-distance matrix with masked argmin
+replaces a KD-tree rebuilt inside a Python loop.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import scipy.interpolate
-import scipy.spatial
+
+
+def _pairwise_sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(len(a), len(b)) squared euclidean distances."""
+    d = a[:, None, :] - b[None, :, :]
+    return np.einsum("ijk,ijk->ij", d, d)
 
 
 def sort(points: np.ndarray) -> np.ndarray:
-    """Greedy nearest-neighbor path through the points (drops the last one,
-    matching the reference)."""
+    """Greedy nearest-neighbor path through the points.
+
+    Starts at ``points[0]``; each step moves to the nearest unvisited
+    point. Returns ``len(points) - 1`` waypoints (the final point is
+    dropped, preserving the reference behavior its camera-path callers
+    expect).
+    """
+    points = np.asarray(points, dtype=float)
     assert points.ndim == 2 and points.shape[1] == 3
 
-    points_left = points.copy()[1:]
-    points_sorted = [points[0]]
-    while len(points_sorted) < (len(points) - 1):
-        kdtree = scipy.spatial.cKDTree(points_left)
-        _, index = kdtree.query(points_sorted[-1])
-        points_sorted.append(points_left[index])
-        points_left = points_left[np.arange(len(points_left)) != index]
-    return np.array(points_sorted, dtype=float)
+    n = len(points)
+    dist = _pairwise_sq(points, points)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n - 1, dtype=int)
+    order[0] = 0
+    visited[0] = True
+    for i in range(1, n - 1):
+        row = np.where(visited, np.inf, dist[order[i - 1]])
+        order[i] = int(np.argmin(row))
+        visited[order[i]] = True
+    return points[order]
 
 
 def sort_by(points: np.ndarray, key: np.ndarray) -> np.ndarray:
-    """Order ``points`` by greedily matching each ``key`` point."""
+    """Order ``points`` by greedily assigning the nearest remaining point
+    to each ``key`` point in turn."""
+    points = np.asarray(points)
+    key = np.asarray(key)
     assert points.ndim == 2 and points.shape[1] == 3
     assert key.ndim == 2 and key.shape[1] == 3
     assert len(points) == len(key)
 
-    points_sorted = []
-    points_left = points.copy()
-    for key_i in key:
-        kdtree = scipy.spatial.cKDTree(points_left)
-        _, index = kdtree.query(key_i)
-        points_sorted.append(points_left[index])
-        points_left = points_left[np.arange(len(points_left)) != index]
-    return np.array(points_sorted)
+    dist = _pairwise_sq(key.astype(float), points.astype(float))
+    taken = np.zeros(len(points), dtype=bool)
+    order = np.empty(len(key), dtype=int)
+    for i in range(len(key)):
+        row = np.where(taken, np.inf, dist[i])
+        order[i] = int(np.argmin(row))
+        taken[order[i]] = True
+    return points[order]
 
 
 def interpolate(keypoints: np.ndarray, n_points: int) -> np.ndarray:
