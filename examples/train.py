@@ -63,6 +63,11 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--pretrained-model", default=None,
+        help="weights-only init from an exported npz checkpoint "
+        "(reference train.py:336-337); optimizer starts fresh",
+    )
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument(
         "--num-workers", type=int, default=0,
@@ -204,6 +209,7 @@ def main():
             eval_interval=args.eval_interval,
             seed=args.seed,
             resume=args.resume,
+            pretrained_model=args.pretrained_model,
             max_steps=args.max_steps,
             args_dict=vars(args),
             num_workers=args.num_workers,

@@ -143,6 +143,7 @@ def fit(
     log_interval: int = 20,
     seed: int = 0,
     resume: bool = False,
+    pretrained_model: Optional[str] = None,
     max_steps: Optional[int] = None,
     args_dict: Optional[dict] = None,
     num_workers: int = 0,
@@ -191,6 +192,16 @@ def fit(
     state = create_train_state(
         model, example, rng, learning_rate, with_occupancy=with_occupancy
     )
+    if pretrained_model:
+        # weights-only init from an exported npz archive (the reference's
+        # --pretrained-model load_npz, train.py:336-337); optimizer state
+        # and step start fresh
+        from .checkpoints import import_params_npz
+
+        state = state.replace(
+            params=import_params_npz(state.params, pretrained_model)
+        )
+        print(f"initialized params from {pretrained_model}")
     if resume and ckpt is not None:
         restored = ckpt.restore_latest(state)
         if restored is not None:
