@@ -31,6 +31,12 @@ def main():
     parser.add_argument("--image-shape", type=int, nargs=2, default=(240, 320))
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n-workers", type=int, default=1)
+    parser.add_argument(
+        "--settle", default="physics", choices=["physics", "drop"],
+        help="physics: quasi-static settled resting poses (round-4 "
+        "training data); drop: legacy plane drop, bit-exact "
+        "reproduction of the frozen campaign val (EVAL_PROTOCOL.md)",
+    )
     args = parser.parse_args()
 
     from morefusion_tpu import datasets
@@ -41,6 +47,7 @@ def main():
         n_objects=tuple(args.n_objects),
         seed=args.seed,
         image_shape=tuple(args.image_shape),
+        settle=args.settle,
     )
     meta = datasets.reindex(args.out, [ds], n_workers=args.n_workers)
     print(f"wrote {len(meta)} instance examples to {args.out}")

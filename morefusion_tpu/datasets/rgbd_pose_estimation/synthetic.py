@@ -30,6 +30,7 @@ class SyntheticRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
         seed: int = 0,
         image_shape=(240, 320),
         n_points_per_object: int = 15000,
+        settle: str = "physics",
     ):
         super().__init__(models or ProceduralModels(), class_ids=class_ids)
         self._split = split
@@ -38,6 +39,10 @@ class SyntheticRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
         self._seed = seed + (0 if split == "train" else 10_000_019)
         self._image_shape = image_shape
         self._n_points_per_object = n_points_per_object
+        # "physics" (round-4 settled poses) or "drop" (legacy; bit-exact
+        # reproduction of the frozen round-3 campaign val, see
+        # docs/EVAL_PROTOCOL.md "Validation sets")
+        self._settle = settle
 
     def get_frame(self, index) -> dict:
         rng = np.random.RandomState(
@@ -49,6 +54,7 @@ class SyntheticRGBDPoseEstimationDataset(RGBDPoseEstimationDatasetBase):
             n_object=n_obj,
             class_ids=self._class_ids and list(self._class_ids),
             random_state=rng,
+            settle=self._settle,
         )
         gen.generate()
         eye = gen.random_camera_trajectory(n_keypoints=4, n_points=2)[0]
