@@ -206,6 +206,10 @@ class SceneGenerationBase:
         T = T.copy()
         com_local = surface.mean(axis=0)
         radius = float(np.linalg.norm(surface - com_local, axis=1).max())
+        # Tip-loop queries run on a half-resolution subsample (contact
+        # sets stay ~mm-dense at 250 samples); the final drop + wedge /
+        # containment validation below re-runs at full resolution.
+        coarse = surface[::2]
         contact_tol = rest_eps + 0.002
         balance_tol = 0.002
         stale = 0
@@ -232,35 +236,36 @@ class SceneGenerationBase:
                 return None
             return near, shape.sdf((near - T[:3, 3]) @ T[:3, :3])
 
-        def min_clearance(T, pts):
-            c = float(
-                self._clearance(pts, bsphere=(center_of(T), radius)).min()
-            )
+        def contact_state(T, pts_local):
+            """One full clearance evaluation: (pts, c_vec, rev, cmin)."""
+            pts = pts_local @ T[:3, :3].T + T[:3, 3]
+            c = self._clearance(pts, bsphere=(center_of(T), radius))
             rev = reverse_sdf(T)
+            cmin = float(c.min())
             if rev is not None:
-                c = min(c, float(rev[1].min()))
-            return c
+                cmin = min(cmin, float(rev[1].min()))
+            return pts, c, rev, cmin
 
-        def drop_to_contact(T):
+        def drop_to_contact(T, pts_local):
             # Sphere-trace along -z (or push up out of penetration);
             # valid because both clearance fields are 1-Lipschitz in the
-            # candidate's translation.
+            # candidate's translation. Returns the last evaluation's
+            # full state so the caller never re-evaluates it.
+            state = contact_state(T, pts_local)
             for _ in range(60):
-                pts = surface @ T[:3, :3].T + T[:3, 3]
-                cmin = min_clearance(T, pts)
+                cmin = state[3]
                 if abs(cmin - rest_eps) < 2e-4:
-                    return T, pts
+                    break
                 if cmin > rest_eps:
                     T[2, 3] -= cmin - rest_eps
                 else:
                     T[2, 3] += rest_eps - cmin
-            return T, surface @ T[:3, :3].T + T[:3, 3]
+                state = contact_state(T, pts_local)
+            return T, state
 
         for _ in range(max_tips):
-            T, pts = drop_to_contact(T)
-            c = self._clearance(pts, bsphere=(center_of(T), radius))
+            T, (pts, c, rev, _) = drop_to_contact(T, coarse)
             contacts = pts[c < contact_tol]
-            rev = reverse_sdf(T)
             if rev is not None:
                 near, rsdf = rev
                 contacts = np.concatenate(
@@ -294,11 +299,10 @@ class SceneGenerationBase:
             R = _axis_angle(axis, tip_step)
             T[:3, :3] = R @ T[:3, :3]
             T[:3, 3] = pivot + R @ (T[:3, 3] - pivot)
-        else:
-            T, pts = drop_to_contact(T)
-
-        pts = surface @ T[:3, :3].T + T[:3, 3]
-        if min_clearance(T, pts) < self._margin * 0.5:
+        # full-resolution final drop + validation (the coarse tip loop
+        # may leave sub-mm penetration at skipped samples)
+        T, (pts, _, _, cmin) = drop_to_contact(T, surface)
+        if cmin < self._margin * 0.5:
             return None  # wedged: drop couldn't resolve a lateral contact
         if not self._is_contained(pts):
             return None
