@@ -11,7 +11,7 @@ from .procedural import ProceduralModels
 from .transform import Transform
 from .rgbd_pose_estimation.base import RGBDPoseEstimationDatasetBase
 from .rgbd_pose_estimation.synthetic import SyntheticRGBDPoseEstimationDataset
-from .rgbd_pose_estimation.reindex import reindex
+from .rgbd_pose_estimation.reindex import rebuild_meta, reindex
 from .rgbd_pose_estimation.reindexed import RGBDPoseEstimationDatasetReIndexed
 from .rgbd_pose_estimation.reindexed import RandomSamplingDataset
 from .packed import PackedPoseDataset

@@ -64,3 +64,38 @@ def reindex(
     with open(os.path.join(reindexed_root_dir, "meta.json"), "w") as f:
         json.dump(id_to_meta, f, indent=2)
     return id_to_meta
+
+
+def rebuild_meta(
+    reindexed_root_dir: str, drop_last_frame: bool = True
+) -> dict:
+    """Reconstruct meta.json for a partially materialized directory.
+
+    ``reindex`` writes meta.json only on completion; a generation run cut
+    short (host budget, VM wipe) leaves a directory of valid per-instance
+    npz files with no index. This rebuilds it from the files themselves.
+    ``drop_last_frame`` discards the highest frame id, which may have been
+    mid-write at the cutoff.
+    """
+    frames = sorted(
+        d
+        for d in os.listdir(reindexed_root_dir)
+        if os.path.isdir(os.path.join(reindexed_root_dir, d))
+    )
+    if drop_last_frame and frames:
+        frames = frames[:-1]
+    id_to_meta: dict = {}
+    for frame in frames:
+        fdir = os.path.join(reindexed_root_dir, frame)
+        for name in sorted(os.listdir(fdir)):
+            if not name.endswith(".npz"):
+                continue
+            instance_id = f"{frame}/{name[:-4]}"
+            with np.load(os.path.join(fdir, name)) as z:
+                id_to_meta[instance_id] = {
+                    "class_id": int(z["class_id"]),
+                    "visibility": float(z["visibility"]),
+                }
+    with open(os.path.join(reindexed_root_dir, "meta.json"), "w") as f:
+        json.dump(id_to_meta, f, indent=2)
+    return id_to_meta

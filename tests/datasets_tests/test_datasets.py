@@ -138,6 +138,14 @@ def test_reindex_roundtrip(tmp_path):
     meta = datasets.reindex(str(tmp_path), [ds], n_workers=1, progress=False)
     assert len(meta) >= 1
 
+    # rebuild_meta reconstructs the index from the npz files alone
+    # (recovery path for generation runs cut short before meta.json)
+    import os
+
+    os.remove(tmp_path / "meta.json")
+    rebuilt = datasets.rebuild_meta(str(tmp_path), drop_last_frame=False)
+    assert rebuilt == meta
+
     loaded = datasets.RGBDPoseEstimationDatasetReIndexed(
         str(tmp_path), split="train"
     )
