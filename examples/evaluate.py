@@ -51,6 +51,20 @@ def main():
         "single: per-crop N=1 (rounds 1-3 behavior, for comparison)",
     )
     parser.add_argument(
+        "--icc-iterations", type=int, default=30,
+        help="ICC optimization steps. 30 matches the reference link's "
+        "per-call budget, but offline (no warm-started stream) the "
+        "icc_diagnose.py landscape probe shows 30 Adam steps close only "
+        "a fraction of the loss(pred)->loss(GT) gap; use ~150 with "
+        "--icc-no-early-stop for the converged offline protocol",
+    )
+    parser.add_argument(
+        "--icc-no-early-stop", action="store_true",
+        help="disable the plateau early-stop (its |dloss|<0.009 window "
+        "threshold is scaled to the ROS stream's loss deltas and fires "
+        "by ~iter 13 on this data)",
+    )
+    parser.add_argument(
         "--icc-cross-mode", default="resample",
         choices=["resample", "exact"],
         help="cross-object inside-grid construction (see contrib."
@@ -312,7 +326,10 @@ def main():
                         np.stack(g_t), np.stack(g_ne),
                         max_points=2048, cross_mode=args.icc_cross_mode,
                     )
-                    refined, _, _ = icc.refine(iterations=30)
+                    refined, _, _ = icc.refine(
+                        iterations=args.icc_iterations,
+                        early_stop=not args.icc_no_early_stop,
+                    )
                     for j, k in enumerate(group):
                         T_icc[k] = refined[j]
 

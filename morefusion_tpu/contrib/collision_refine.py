@@ -78,6 +78,7 @@ def icc_loss(
     threshold: float = 2.0,
     sdf_offset: float = 0.0,
     cross_mode: str = "resample",
+    return_parts: bool = False,
 ):
     """ICC loss. ``cross_mode``:
 
@@ -160,6 +161,16 @@ def icc_loss(
 
     reward = jnp.sum(grid_s * g_t) / jnp.maximum(jnp.sum(g_t), 1e-16)
     penalty = jnp.sum(grid_i * gne) / jnp.maximum(jnp.sum(grid_i), 1e-16)
+    if return_parts:
+        # per-object components (diagnostics: examples/icc_diagnose.py)
+        ax = (1, 2, 3)
+        reward_i = jnp.sum(grid_s * g_t, ax) / jnp.maximum(
+            jnp.sum(g_t, ax), 1e-16
+        )
+        penalty_i = jnp.sum(grid_i * gne, ax) / jnp.maximum(
+            jnp.sum(grid_i, ax), 1e-16
+        )
+        return penalty - reward, (penalty_i, reward_i)
     return penalty - reward
 
 
@@ -361,7 +372,12 @@ class IterativeCollisionCheck:
         self._sdf_offset = sdf_offset
         self._cross_mode = cross_mode
 
-    def refine_async(self, iterations: int = 30, alpha: float = 0.01):
+    def refine_async(
+        self,
+        iterations: int = 30,
+        alpha: float = 0.01,
+        early_stop: bool = True,
+    ):
         """Dispatch the refinement without blocking on the result.
 
         Returns immediately after enqueueing the compiled program; call
@@ -389,6 +405,7 @@ class IterativeCollisionCheck:
             sdf_offset=self._sdf_offset,
             iterations=iterations,
             alpha=alpha,
+            early_stop=early_stop,
             cross_mode=self._cross_mode,
         )
 
@@ -402,9 +419,58 @@ class IterativeCollisionCheck:
         self._t = np.asarray(t)
         return self.transforms, np.asarray(losses), int(n_iter)
 
-    def refine(self, iterations: int = 30, alpha: float = 0.01):
-        self.refine_async(iterations=iterations, alpha=alpha)
+    def refine(
+        self,
+        iterations: int = 30,
+        alpha: float = 0.01,
+        early_stop: bool = True,
+    ):
+        self.refine_async(
+            iterations=iterations, alpha=alpha, early_stop=early_stop
+        )
         return self.resolve()
+
+    def loss_components(self, transforms=None):
+        """Evaluate the ICC objective at the given (default: current)
+        poses without refining. Returns ``(loss, penalty_i, reward_i)``
+        with per-object components — the diagnostic probe behind
+        ``examples/icc_diagnose.py`` (is the objective's minimum even at
+        the ground-truth configuration on this data?)."""
+        from ..geometry.transform import (
+            quaternion_from_matrix,
+            translation_from_matrix,
+        )
+
+        q, t = self._q, self._t
+        if transforms is not None:
+            q, t = q.copy(), t.copy()
+            for i, T in enumerate(transforms[: self._n]):
+                q[i] = quaternion_from_matrix(T)
+                t[i] = translation_from_matrix(T)
+        gt, gn = self._grid_target, self._gne
+        if gt.dtype == np.uint8:
+            gt = gt.astype(np.float32) / 255.0
+        if gn.dtype == np.uint8:
+            gn = gn.astype(np.float32) / 255.0
+        loss, (pen, rew) = icc_loss(
+            jnp.asarray(q),
+            jnp.asarray(t),
+            jnp.asarray(self._points),
+            jnp.asarray(self._sdf),
+            jnp.asarray(self._mask),
+            jnp.asarray(self._pitch),
+            jnp.asarray(self._origin),
+            jnp.asarray(gt),
+            jnp.asarray(gn),
+            jnp.asarray(self._obj_mask),
+            voxel_dim=self._voxel_dim,
+            threshold=self._threshold,
+            sdf_offset=self._sdf_offset,
+            cross_mode=self._cross_mode,
+            return_parts=True,
+        )
+        n = self._n
+        return float(loss), np.asarray(pen)[:n], np.asarray(rew)[:n]
 
     @staticmethod
     def warmup_buckets(
