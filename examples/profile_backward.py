@@ -111,12 +111,16 @@ def main():
     d = run_variant("D fp32, both ablations", f32,
                     interp=interp_no_grid_grad, symmetric=False)
     e = run_variant("E full bf16 compute", jnp.bfloat16)
+    f = run_variant("F fp32, sorted-segment interp VJP", f32,
+                    interp=vox.interpolate_voxel_grid_sorted)
 
     print("\n=== attribution (ms) ===")
     print(f"interp grid-VJP scatter : {1e3 * (a - b):7.1f}")
     print(f"ADD-S KNN fwd+bwd       : {1e3 * (a - c):7.1f}")
     print(f"both                    : {1e3 * (a - d):7.1f}")
     print(f"bf16-compute saving     : {1e3 * (a - e):7.1f}")
+    print(f"sorted-VJP saving       : {1e3 * (a - f):7.1f} "
+          f"(item-7 kernel attempt; upper bound is A-B)")
 
 
 if __name__ == "__main__":

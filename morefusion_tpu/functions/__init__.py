@@ -14,6 +14,7 @@ from .transforms import translation_matrix
 
 from .voxelization import average_voxelization_3d
 from .voxelization import interpolate_voxel_grid
+from .voxelization import interpolate_voxel_grid_sorted
 from .voxelization import max_voxelization_3d
 
 from .occupancy import occupancy_grid_1d

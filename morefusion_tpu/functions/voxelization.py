@@ -217,3 +217,100 @@ def interpolate_voxel_grid(
     ]  # (P, 8, C)
     weights = jnp.where(in_bounds, weights, 0.0)
     return jnp.einsum("pkc,pk->pc", gathered, weights.astype(gathered.dtype))
+
+
+def _interp_corners(grid_shape, points, batch_indices):
+    """Shared trilinear geometry: corner ids, weights, bounds mask."""
+    B, X, Y, Z, C = grid_shape
+    lo = jnp.floor(points).astype(jnp.int32)
+    frac = points - lo.astype(points.dtype)
+    offsets = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        dtype=jnp.int32,
+    )
+    corners = lo[:, None, :] + offsets[None, :, :]  # (P, 8, 3)
+    w = jnp.where(
+        offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
+    )  # (P, 8, 3) per-axis factors
+    dims_arr = jnp.asarray([X, Y, Z], dtype=jnp.int32)
+    in_bounds = jnp.all((corners >= 0) & (corners < dims_arr), axis=-1)
+    safe = jnp.clip(corners, 0, dims_arr - 1)
+    lin = (
+        (batch_indices[:, None] * X + safe[..., 0]) * Y + safe[..., 1]
+    ) * Z + safe[..., 2]  # (P, 8)
+    return offsets, w, in_bounds, safe, lin
+
+
+@jax.custom_vjp
+def interpolate_voxel_grid_sorted(grid, points, batch_indices):
+    """``interpolate_voxel_grid`` with a sort-based grid-cotangent VJP.
+
+    The autodiff backward of the plain gather is an XLA ``scatter-add``
+    with colliding indices, which TPU executes as a serialized
+    read-modify-write loop through HBM (VERDICT round-3 item 7). This
+    variant's hand-written VJP sorts the 8P corner contributions by
+    linearized voxel id and reduces them with a sorted ``segment_sum``,
+    turning the serialized scatter into sort + vectorized
+    segment-reduce. Forward results and gradients are identical
+    (oracle-tested in ``tests/functions_tests/test_voxelization.py``).
+    """
+    return interpolate_voxel_grid(grid, points, batch_indices)
+
+
+def _interp_sorted_fwd(grid, points, batch_indices):
+    return (
+        interpolate_voxel_grid(grid, points, batch_indices),
+        (grid, points, batch_indices),
+    )
+
+
+def _interp_sorted_bwd(res, cot):
+    grid, points, batch_indices = res
+    B, X, Y, Z, C = grid.shape
+    P = points.shape[0]
+    offsets, w, in_bounds, safe, lin = _interp_corners(
+        grid.shape, points, batch_indices
+    )
+    weights = jnp.prod(w, axis=-1)
+    weights = jnp.where(in_bounds, weights, 0.0)  # (P, 8)
+
+    # --- d grid: sorted segment-sum over the 8P corner contributions
+    n_voxels = B * X * Y * Z
+    lin_flat = jnp.where(in_bounds, lin, n_voxels).reshape(-1)  # (8P,)
+    vals = (
+        weights[..., None].astype(cot.dtype) * cot[:, None, :]
+    ).reshape(-1, C)  # (8P, C)
+    order = jnp.argsort(lin_flat)
+    dgrid = jax.ops.segment_sum(
+        vals[order],
+        lin_flat[order],
+        num_segments=n_voxels + 1,
+        indices_are_sorted=True,
+    )[:-1].reshape(grid.shape)
+
+    # --- d points: cot . gathered per corner, times dW/dfrac
+    gathered = grid[
+        batch_indices[:, None], safe[..., 0], safe[..., 1], safe[..., 2]
+    ]  # (P, 8, C)
+    cotdot = jnp.einsum("pkc,pc->pk", gathered, cot)  # (P, 8)
+    cotdot = jnp.where(in_bounds, cotdot, 0.0)
+    sign = jnp.where(offsets[None, :, :] == 1, 1.0, -1.0).astype(
+        points.dtype
+    )  # (P→1, 8, 3)
+    # product of the OTHER two axes' factors for each axis (no division
+    # so w == 0 corners stay exact)
+    others = jnp.stack(
+        [
+            w[..., 1] * w[..., 2],
+            w[..., 0] * w[..., 2],
+            w[..., 0] * w[..., 1],
+        ],
+        axis=-1,
+    )  # (P, 8, 3)
+    dpoints = jnp.einsum("pk,pka->pa", cotdot, sign * others).astype(
+        points.dtype
+    )
+    return dgrid.astype(grid.dtype), dpoints, None
+
+
+interpolate_voxel_grid_sorted.defvjp(_interp_sorted_fwd, _interp_sorted_bwd)

@@ -192,3 +192,52 @@ def test_voxelize_interpolate_roundtrip(rng):
     unique, counts = np.unique(lin, return_counts=True)
     once = np.isin(lin, unique[counts == 1])
     np.testing.assert_allclose(out[once], values[once], atol=1e-5)
+
+
+def test_interpolate_sorted_vjp_matches_autodiff(rng):
+    """The sort-based VJP must agree with plain autodiff exactly:
+    value, grid-cotangent, and points-cotangent, including points whose
+    corner neighborhoods are partially or fully out of bounds."""
+    B, X, Y, Z, C = 2, 5, 6, 4, 3
+    grid = rng.uniform(-1, 1, (B, X, Y, Z, C))
+    P = 64
+    # in-bounds, straddling the border, and fully outside
+    points = np.concatenate(
+        [
+            rng.uniform(0, 3.5, (P - 8, 3)),
+            rng.uniform(-1.5, 0.5, (4, 3)),
+            rng.uniform(6.0, 8.0, (4, 3)),
+        ]
+    )
+    bi = rng.randint(0, B, (P,)).astype(np.int32)
+    cot = rng.uniform(-1, 1, (P, C))
+
+    def loss_plain(g, p):
+        return jnp.sum(F.interpolate_voxel_grid(g, p, bi) * cot)
+
+    def loss_sorted(g, p):
+        return jnp.sum(F.interpolate_voxel_grid_sorted(g, p, bi) * cot)
+
+    v0 = loss_plain(grid, points)
+    v1 = loss_sorted(grid, points)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-12)
+
+    g0, p0 = jax.grad(loss_plain, argnums=(0, 1))(grid, points)
+    g1, p1 = jax.grad(loss_sorted, argnums=(0, 1))(grid, points)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-10)
+
+
+def test_interpolate_sorted_vjp_jit_and_checkgrads(rng):
+    B, X, Y, Z, C = 1, 4, 4, 4, 2
+    grid = rng.uniform(size=(B, X, Y, Z, C))
+    points = rng.uniform(0.2, 2.8, (5, 3))
+    bi = np.zeros(5, np.int32)
+    jax.test_util.check_grads(
+        jax.jit(lambda g, p: F.interpolate_voxel_grid_sorted(g, p, bi)),
+        (grid, points),
+        order=1,
+        modes=["rev"],
+        atol=1e-3,
+        rtol=1e-3,
+    )
