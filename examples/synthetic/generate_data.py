@@ -37,12 +37,22 @@ def main():
         "training data); drop: legacy plane drop, bit-exact "
         "reproduction of the frozen campaign val (EVAL_PROTOCOL.md)",
     )
+    parser.add_argument(
+        "--textured", action="store_true",
+        help="procedurally textured model bank (checker + label patch "
+        "in canonical coordinates) - the zero-egress analogue of the "
+        "reference's textured YCB meshes; scene content for a given "
+        "seed is identical to the untextured render",
+    )
     args = parser.parse_args()
 
     from morefusion_tpu import datasets
 
     ds = datasets.SyntheticRGBDPoseEstimationDataset(
         split=args.split,
+        models=datasets.ProceduralModels(textured=True)
+        if args.textured
+        else None,
         n_frames=args.n_frames,
         n_objects=tuple(args.n_objects),
         seed=args.seed,

@@ -105,13 +105,52 @@ _COLORS = np.array(
 
 
 class ProceduralModels(ModelsBase):
-    """Analytic-SDF stand-in for ``YCBVideoModels`` (zero assets needed)."""
+    """Analytic-SDF stand-in for ``YCBVideoModels`` (zero assets needed).
+
+    ``textured=True`` attaches a deterministic procedural albedo to every
+    class (``get_point_colors``): a fine 3-D checker plus a contrasting
+    one-sided "label" patch, both in CANONICAL object coordinates so the
+    texture is rigidly glued to the shape. This is the zero-egress
+    analogue of the reference's textured YCB meshes: it makes
+    orientation *visually decidable* for rotationally near-symmetric
+    solids (cans, boxes), which the flat single-color rendering cannot
+    (measured: `docs/results/r4_ambiguity_floor.json`, ROUND4.md §1b).
+    """
 
     _n_surface_points = 4000
     _solid_dim = 48
 
-    def __init__(self):
+    def __init__(self, textured: bool = False):
         self._shapes = _build_shapes()
+        self.textured = bool(textured)
+
+    def get_point_colors(self, class_id, points):
+        """Per-point albedo (N, 3) uint8 in canonical coordinates."""
+        cid = int(class_id)
+        pts = np.asarray(points, dtype=np.float64)
+        base = _COLORS[cid].astype(np.float64)
+        accent = 255.0 - base  # complementary: maximal contrast
+        # 3-D checker, class-dependent frequency (~15-35 mm cells: a few
+        # pixels at the 240x320 render so cells survive the point-splat
+        # sampling instead of aliasing into noise)
+        f = 28.0 + 3.5 * cid
+        checker = (
+            np.floor(pts[:, 0] * f)
+            + np.floor(pts[:, 1] * (f + 11.0))
+            + np.floor(pts[:, 2] * (f + 23.0))
+        ) % 2.0
+        albedo = base[None, :] * (0.55 + 0.45 * checker[:, None])
+        # one-sided label patch: an angular window about +x, upper half
+        # only — breaks cylinder axial spins AND 180-degree flips
+        theta = np.arctan2(pts[:, 1], pts[:, 0])
+        r = np.linalg.norm(pts[:, :2], axis=1)
+        label = (
+            (np.abs(theta - 0.6) < 0.7)
+            & (pts[:, 2] > 0.0)
+            & (r > 0.25 * (r.max() + 1e-9))
+        )
+        albedo = np.where(label[:, None], accent[None, :], albedo)
+        return np.clip(albedo, 0, 255).astype(np.uint8)
 
     @property
     def class_names(self):
