@@ -59,6 +59,11 @@ def main():
         "--icc-no-early-stop for the converged offline protocol",
     )
     parser.add_argument(
+        "--icc-alpha-decay", action="store_true",
+        help="cosine-decay the ICC LR over the iteration budget "
+        "(offline converged protocol; see ROUND4.md 2b)",
+    )
+    parser.add_argument(
         "--icc-no-early-stop", action="store_true",
         help="disable the plateau early-stop (its |dloss|<0.009 window "
         "threshold is scaled to the ROS stream's loss deltas and fires "
@@ -329,6 +334,7 @@ def main():
                     refined, _, _ = icc.refine(
                         iterations=args.icc_iterations,
                         early_stop=not args.icc_no_early_stop,
+                        alpha_decay=args.icc_alpha_decay,
                     )
                     for j, k in enumerate(group):
                         T_icc[k] = refined[j]

@@ -169,6 +169,39 @@ def main(args):
             ).astype(np.float64)
             for ex in exs
         ]
+        if args.perturb_t or args.perturb_r:
+            # perturbation-recovery mode: start from GT + gross noise —
+            # the interpenetration regime ICC is built for (the ROS
+            # stream hands it colliding hypotheses,
+            # collision_based_pose_refinement.py:108-211). Recovery here
+            # with no recovery from CNN predictions = regime effect,
+            # not an implementation defect.
+            prng = np.random.RandomState(
+                args.perturb_seed + int(frame, 10)
+            )
+            T_pred = []
+            for Tt in T_true:
+                P = np.eye(4)
+                axis = prng.normal(size=3)
+                axis /= np.linalg.norm(axis)
+                ang = np.deg2rad(args.perturb_r) * prng.normal()
+                K = np.array(
+                    [
+                        [0, -axis[2], axis[1]],
+                        [axis[2], 0, -axis[0]],
+                        [-axis[1], axis[0], 0],
+                    ]
+                )
+                P[:3, :3] = (
+                    np.eye(3)
+                    + np.sin(ang) * K
+                    + (1 - np.cos(ang)) * K @ K
+                )
+                P[:3, 3] = args.perturb_t * prng.normal(size=3)
+                T_p = Tt.copy()
+                T_p[:3, :3] = P[:3, :3] @ Tt[:3, :3]
+                T_p[:3, 3] = Tt[:3, 3] + P[:3, 3]
+                T_pred.append(T_p)
 
         icc = IterativeCollisionCheck(
             T_pred,
@@ -207,6 +240,7 @@ def main(args):
             iterations=args.iterations,
             alpha=args.alpha,
             early_stop=not args.no_early_stop,
+            alpha_decay=args.alpha_decay,
         )
         loss_ref, pen_ref, rew_ref = icc.loss_components()
 
@@ -260,6 +294,12 @@ def main(args):
     pen_g = np.concatenate([r["penalty_gt"] for r in rows])
     summary = dict(
         grid_variant=args.grid_variant,
+        iterations=args.iterations,
+        alpha=args.alpha,
+        alpha_decay=args.alpha_decay,
+        early_stop=not args.no_early_stop,
+        perturb_t=args.perturb_t,
+        perturb_r=args.perturb_r,
         n_frames=len(rows),
         loss_pred_mean=float(lp.mean()),
         loss_gt_mean=float(lg.mean()),
@@ -272,6 +312,12 @@ def main(args):
         if len(rows) > 2
         else None,
         mean_dadd=float(dadd.mean()),
+        add_init_mean=float(
+            np.mean(np.concatenate([r["add_pred"] for r in rows]))
+        ),
+        add_refined_mean=float(
+            np.mean(np.concatenate([r["add_refined"] for r in rows]))
+        ),
     )
     print(json.dumps(summary, indent=2))
     if args.out:
@@ -298,6 +344,23 @@ if __name__ == "__main__":
     )
     parser.add_argument("--iterations", type=int, default=30)
     parser.add_argument("--alpha", type=float, default=0.01)
+    parser.add_argument(
+        "--alpha-decay", action="store_true",
+        help="cosine-decay the refinement LR to 0 over the iteration "
+        "budget (offline convergence; the reference's streaming calls "
+        "use a fixed alpha)",
+    )
+    parser.add_argument(
+        "--perturb-t", type=float, default=0.0,
+        help="perturbation-recovery mode: replace the CNN prediction "
+        "with GT + N(0, sigma) translation noise (meters per axis)",
+    )
+    parser.add_argument(
+        "--perturb-r", type=float, default=0.0,
+        help="rotation noise sigma (degrees, random axis) for "
+        "perturbation-recovery mode",
+    )
+    parser.add_argument("--perturb-seed", type=int, default=7)
     parser.add_argument(
         "--no-early-stop", action="store_true",
         help="disable the plateau early-stop (its 0.009 threshold was "

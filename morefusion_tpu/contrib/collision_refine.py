@@ -178,7 +178,7 @@ def icc_loss(
     jax.jit,
     static_argnames=(
         "voxel_dim", "threshold", "sdf_offset", "iterations", "alpha",
-        "early_stop", "cross_mode",
+        "early_stop", "cross_mode", "alpha_decay",
     ),
 )
 def refine_collision(
@@ -200,6 +200,7 @@ def refine_collision(
     alpha: float = 0.01,
     early_stop: bool = True,
     cross_mode: str = "resample",
+    alpha_decay: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jointly refine all object poses.
 
@@ -207,6 +208,19 @@ def refine_collision(
     n_effective_iterations). With ``early_stop``, iterations after the
     plateau condition fires keep the parameters frozen (same compiled
     program for every convergence pattern).
+
+    Divergences from the reference optimizer (both measured on the
+    perturbation-recovery probe, ROUND4.md §2b):
+
+    - the returned pose is the BEST-loss iterate of the whole
+      trajectory, not the last one (the reference's fixed-alpha Adam
+      oscillates on the piecewise-smooth voxel objective and its last
+      iterate can be *worse* than the initialization; best-iterate
+      makes refinement monotone-safe by construction);
+    - ``alpha_decay=True`` applies a cosine schedule alpha -> 0 over
+      the ``iterations`` budget so long offline runs settle instead of
+      bouncing (the reference's 30-step streaming calls never ran long
+      enough to need this).
     """
     N = quaternions.shape[0]
     if obj_mask is None:
@@ -225,8 +239,13 @@ def refine_collision(
         "quaternion": jnp.asarray(quaternions, jnp.float32),
         "translation": jnp.asarray(translations, jnp.float32),
     }
+    if alpha_decay:
+        lr_q = optax.cosine_decay_schedule(alpha, iterations)
+        lr_t = optax.cosine_decay_schedule(alpha * 0.1, iterations)
+    else:
+        lr_q, lr_t = alpha, alpha * 0.1
     tx = optax.multi_transform(
-        {"q": optax.adam(alpha), "t": optax.adam(alpha * 0.1)},
+        {"q": optax.adam(lr_q), "t": optax.adam(lr_t)},
         {"quaternion": "q", "translation": "t"},
     )
     opt_state = tx.init(params)
@@ -255,10 +274,22 @@ def refine_collision(
     deltas0 = jnp.full((10,), jnp.inf, jnp.float32)
 
     def step(carry, _):
-        params, opt_state, last, deltas, n_passed, stopped, n_iter = carry
+        (
+            params, opt_state, last, deltas, n_passed, stopped, n_iter,
+            best_loss, best_params,
+        ) = carry
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+
+        # best-iterate tracking: `loss` is evaluated at `params`
+        better = loss < best_loss
+        best_params = jax.tree_util.tree_map(
+            lambda cur, best: jnp.where(better, cur, best),
+            params,
+            best_params,
+        )
+        best_loss = jnp.where(better, loss, best_loss)
 
         deltas = jnp.roll(deltas, -1).at[-1].set(jnp.abs(last - loss))
         max_delta = jnp.max(deltas)
@@ -273,7 +304,8 @@ def refine_collision(
         n_iter = n_iter + jnp.where(stopped, 0, 1)
         stopped = stopped | stop_now
         return (
-            params, opt_state, loss, deltas, n_passed, stopped, n_iter
+            params, opt_state, loss, deltas, n_passed, stopped, n_iter,
+            best_loss, best_params,
         ), loss
 
     init = (
@@ -284,11 +316,18 @@ def refine_collision(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        params,
     )
-    (params, _, _, _, _, _, n_iter), losses = jax.lax.scan(
-        step, init, None, length=iterations
+    (
+        _, _, _, _, _, _, n_iter, _, best_params
+    ), losses = jax.lax.scan(step, init, None, length=iterations)
+    return (
+        best_params["quaternion"],
+        best_params["translation"],
+        losses,
+        n_iter,
     )
-    return params["quaternion"], params["translation"], losses, n_iter
 
 
 class IterativeCollisionCheck:
@@ -377,6 +416,7 @@ class IterativeCollisionCheck:
         iterations: int = 30,
         alpha: float = 0.01,
         early_stop: bool = True,
+        alpha_decay: bool = False,
     ):
         """Dispatch the refinement without blocking on the result.
 
@@ -406,6 +446,7 @@ class IterativeCollisionCheck:
             iterations=iterations,
             alpha=alpha,
             early_stop=early_stop,
+            alpha_decay=alpha_decay,
             cross_mode=self._cross_mode,
         )
 
@@ -424,9 +465,13 @@ class IterativeCollisionCheck:
         iterations: int = 30,
         alpha: float = 0.01,
         early_stop: bool = True,
+        alpha_decay: bool = False,
     ):
         self.refine_async(
-            iterations=iterations, alpha=alpha, early_stop=early_stop
+            iterations=iterations,
+            alpha=alpha,
+            early_stop=early_stop,
+            alpha_decay=alpha_decay,
         )
         return self.resolve()
 

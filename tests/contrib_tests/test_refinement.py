@@ -206,3 +206,38 @@ def test_icc_loss_penalizes_overlap():
     inside = loss_at(0.0)  # object sits inside the no-entry grid
     outside = loss_at(10.0)  # far away from the grid
     assert inside > outside
+
+
+def test_icc_best_iterate_is_monotone_safe(rng):
+    """refine() returns the best-loss iterate: evaluating the ICC
+    objective at the returned poses can never be worse than at the
+    initialization (the reference's last-iterate Adam CAN end worse —
+    measured, ROUND4.md 2b). Also exercises the alpha_decay path."""
+    models = ProceduralModels()
+    cids = [21, 16]
+    points = [
+        models.get_solid_voxel_grid(c).points.astype(np.float32)
+        for c in cids
+    ]
+    sdfs = [
+        models.get_solid_voxel_grid(c).inside_distance.astype(np.float32)
+        for c in cids
+    ]
+    pitches = [models.get_voxel_pitch(32, c) for c in cids]
+    origins = [np.float32([-0.16, -0.16, -0.16])] * 2
+    Ts = [np.eye(4), np.eye(4)]
+    Ts[1] = Ts[1].copy()
+    Ts[1][:3, 3] = [0.01, 0.005, 0.0]  # interpenetrating start
+    g0 = np.zeros((32, 32, 32), np.float32)
+    gne = np.zeros((32, 32, 32), np.float32)
+    gne[:, :16] = 0.9
+    icc = contrib.IterativeCollisionCheck(
+        Ts, points, sdfs, pitches, origins,
+        np.stack([g0, g0]), np.stack([gne, gne]), max_points=256,
+    )
+    loss0, _, _ = icc.loss_components()
+    # deliberately over-long, no early stop: a last-iterate return
+    # would be exposed to the oscillation regime
+    icc.refine(iterations=40, early_stop=False, alpha_decay=True)
+    loss1, _, _ = icc.loss_components()
+    assert loss1 <= loss0 + 1e-5
