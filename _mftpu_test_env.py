@@ -28,6 +28,14 @@ def scrubbed_env():
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # persistent XLA compilation cache: the suite's cost is dominated by
+    # CPU test compiles (shared 8-device programs); caching them across
+    # runs roughly halves compile-heavy files (measured 42.5s -> 21.7s
+    # on tests/functions_tests -k sorted). VERDICT-3 item 8.
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/mftpu_test_cache"
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     return env
 
 

@@ -20,6 +20,15 @@ if not _TPU_RUN:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # persistent compile cache across runs (see _mftpu_test_env.py);
+    # this fallback covers direct `pytest tests/...` invocations that
+    # skip the re-exec plugin
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/mftpu_test_cache"
+    )
+    os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5"
+    )
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
