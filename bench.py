@@ -349,7 +349,23 @@ def orchestrate(args, argv):
     os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     cmd = [sys.executable, os.path.abspath(__file__), "--single"] + argv
     records = []
+    t0 = time.perf_counter()
+    durations = []
     for k in range(args.runs):
+        # Wall-budget guard: a cold XLA cache makes the first run ~3x
+        # slower than the rest; never start a run that would push the
+        # orchestrator past --budget (median of what completed is still
+        # emitted). At least one run always happens.
+        if records:
+            expected = durations[-1]
+            if time.perf_counter() - t0 + expected > args.budget:
+                print(
+                    f"[bench] budget {args.budget:.0f}s: stopping after "
+                    f"{len(records)}/{args.runs} runs",
+                    file=sys.stderr,
+                )
+                break
+        t_run = time.perf_counter()
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=env,
@@ -362,6 +378,7 @@ def orchestrate(args, argv):
             records.append(json.loads(line))
         except Exception as e:  # one bad relay run must not kill the bench
             print(f"[bench] run {k} failed: {e!r}", file=sys.stderr)
+        durations.append(time.perf_counter() - t_run)
     if not records:
         print(json.dumps({"metric": "error", "value": 0, "unit": "none",
                           "vs_baseline": 0}))
@@ -399,6 +416,12 @@ def main():
     parser.add_argument(
         "--single", action="store_true",
         help="one in-process measurement (no subprocess median)",
+    )
+    parser.add_argument(
+        "--budget", type=float, default=420.0,
+        help="orchestrator wall budget in seconds; stop launching "
+        "fresh-process runs that would exceed it (cold-cache runs on a "
+        "freshly wiped VM take ~4.5 min each, warm ~1.6 min)",
     )
     parser.add_argument(
         "--metric", default="fps",
