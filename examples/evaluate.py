@@ -75,6 +75,26 @@ def main():
         help="cross-object inside-grid construction (see contrib."
         "collision_refine.icc_loss)",
     )
+    parser.add_argument(
+        "--icc-grid-scale", type=int, default=1,
+        help="refine-time grid resolution factor: trilinearly upsample "
+        "the observed grids to (32*s)^3 at pitch/s before ICC. Probes "
+        "the ROUND4.md 2b resolution bound (reward basin ~= threshold x "
+        "pitch ~= 12 mm at the training pitch vs ~11 mm median position "
+        "error); the reference likewise uses refinement pitches "
+        "decoupled from the CNN grid (ros/.../utils/data.h:9-37)",
+    )
+    parser.add_argument(
+        "--icc-threshold", type=float, default=2.0,
+        help="pseudo-occupancy ramp width in voxels (reference default "
+        "2); the blur of the ICC objective is threshold x pitch",
+    )
+    parser.add_argument(
+        "--icc-coarse-to-fine", action="store_true",
+        help="two-level schedule: full iteration budget at the native "
+        "32^3 pitch, then again at --icc-grid-scale from the coarse "
+        "result (escape flat-basin wandering at range, then sharpen)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -82,6 +102,7 @@ def main():
 
     from morefusion_tpu import datasets, metrics, models, training
     from morefusion_tpu.contrib import ICPRegistration, IterativeCollisionCheck
+    from morefusion_tpu.contrib.collision_refine import upsample_observed_grid
     from morefusion_tpu.datasets import ProceduralModels, Transform
     from morefusion_tpu.datasets.ycb_video.class_names import (
         class_ids_symmetric,
@@ -326,16 +347,35 @@ def main():
                                 ex["grid_nontarget_empty"], np.float32
                             )
                         )
-                    icc = IterativeCollisionCheck(
-                        Ts0, pts_l, sdf_l, pitch_l, origin_l,
-                        np.stack(g_t), np.stack(g_ne),
-                        max_points=2048, cross_mode=args.icc_cross_mode,
-                    )
-                    refined, _, _ = icc.refine(
-                        iterations=args.icc_iterations,
-                        early_stop=not args.icc_no_early_stop,
-                        alpha_decay=args.icc_alpha_decay,
-                    )
+
+                    def run_icc(Ts_init, scale):
+                        icc = IterativeCollisionCheck(
+                            Ts_init, pts_l, sdf_l,
+                            [p / scale for p in pitch_l], origin_l,
+                            np.stack(
+                                [upsample_observed_grid(g, scale)
+                                 for g in g_t]
+                            ),
+                            np.stack(
+                                [upsample_observed_grid(g, scale)
+                                 for g in g_ne]
+                            ),
+                            voxel_dim=32 * scale,
+                            threshold=args.icc_threshold,
+                            max_points=2048,
+                            cross_mode=args.icc_cross_mode,
+                        )
+                        refined, _, _ = icc.refine(
+                            iterations=args.icc_iterations,
+                            early_stop=not args.icc_no_early_stop,
+                            alpha_decay=args.icc_alpha_decay,
+                        )
+                        return refined
+
+                    Ts_init = Ts0
+                    if args.icc_coarse_to_fine and args.icc_grid_scale > 1:
+                        Ts_init = list(run_icc(Ts_init, 1))
+                    refined = run_icc(Ts_init, args.icc_grid_scale)
                     for j, k in enumerate(group):
                         T_icc[k] = refined[j]
 

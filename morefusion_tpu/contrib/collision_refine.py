@@ -34,6 +34,41 @@ import optax
 from ..functions.tdf import pseudo_occupancy_voxelization
 from ..functions.transforms import transformation_matrix, transform_points
 
+def _upsample_axis_np(a, scale, axis):
+    V = a.shape[axis]
+    pos = np.arange(V * scale, dtype=np.float64) / scale
+    i0 = np.floor(pos).astype(np.int64)
+    w = (pos - i0).astype(np.float32)
+    i1 = np.minimum(i0 + 1, V - 1)
+    a0 = np.take(a, i0, axis=axis)
+    a1 = np.take(a, i1, axis=axis)
+    shape = [1] * a.ndim
+    shape[axis] = -1
+    w = w.reshape(shape)
+    return a0 * (1.0 - w) + a1 * w
+
+
+def upsample_observed_grid(grid, scale: int):
+    """Trilinear upsample of an observed occupancy grid to a finer pitch.
+
+    Voxel center of index ``k`` sits at ``origin + k * pitch`` (the
+    convention of :func:`_resample_grid` and the voxelizers), so the
+    refined grid keeps the SAME origin with ``pitch' = pitch / scale``
+    and ``V' = V * scale`` — even fine indices land exactly on original
+    centers.  Purpose: refinement-time grids finer than the model's 32^3
+    training pitch (ROUND4.md §2b measured the ICC reward basin at one
+    voxel-blur ~= threshold x pitch ~= 12 mm while median position error
+    is ~11 mm; the reference likewise scales refinement pitches per
+    class, ``ros/.../utils/data.h:9-37``, independent of the CNN grid).
+    """
+    g = np.asarray(grid, np.float32)
+    if scale == 1:
+        return g
+    for ax in (-3, -2, -1):
+        g = _upsample_axis_np(g, scale, ax)
+    return g
+
+
 def _axis_weights(o_i, pitch_i, o_j, pitch_j, V, dtype):
     """(V_out, V_src) trilinear hat weights for one axis of the axis-
     aligned scale-translate resample. Out-of-range rows are all-zero

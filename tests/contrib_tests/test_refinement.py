@@ -241,3 +241,63 @@ def test_icc_best_iterate_is_monotone_safe(rng):
     icc.refine(iterations=40, early_stop=False, alpha_decay=True)
     loss1, _, _ = icc.loss_components()
     assert loss1 <= loss0 + 1e-5
+
+
+def test_upsample_observed_grid_matches_original_centers(rng):
+    from morefusion_tpu.contrib.collision_refine import (
+        upsample_observed_grid,
+    )
+
+    g = rng.uniform(size=(8, 8, 8)).astype(np.float32)
+    up = upsample_observed_grid(g, 2)
+    assert up.shape == (16, 16, 16)
+    # even fine indices land exactly on original voxel centers
+    np.testing.assert_allclose(up[::2, ::2, ::2], g, rtol=1e-6)
+    # interpolated values are convex combinations of the originals
+    assert up.min() >= g.min() - 1e-6 and up.max() <= g.max() + 1e-6
+    # odd fine indices along an axis are neighbor midpoints (edge clamps)
+    mid = up[1::2, ::2, ::2]
+    expect = np.concatenate([0.5 * (g[:-1] + g[1:]), g[-1:]], axis=0)
+    np.testing.assert_allclose(mid, expect, rtol=1e-5)
+
+
+def test_upsampled_grid_preserves_icc_loss_landscape(rng):
+    """The fine-pitch grid must describe the same scene: resampling an
+    object's inside-grid into a frame built from the upsampled observed
+    grid (same origin, pitch/2, 64^3) keeps the ICC loss finite and the
+    GT configuration at lower loss than a gross perturbation."""
+    from morefusion_tpu.contrib.collision_refine import (
+        upsample_observed_grid,
+    )
+    from morefusion_tpu.contrib import IterativeCollisionCheck
+
+    models = ProceduralModels()
+    vox = models.get_solid_voxel_grid(2)
+    pts = vox.points.astype(np.float32)
+    sdf = vox.inside_distance.astype(np.float32)
+    pitch, V = 0.01, 16
+    origin = np.full(3, -0.08, np.float32)
+    # observed target grid: voxelize the CAD at identity
+    idx = np.round((pts - origin) / pitch).astype(int)
+    ok = (idx >= 0).all(1) & (idx < V).all(1)
+    g_t = np.zeros((V, V, V), np.float32)
+    g_t[tuple(idx[ok].T)] = 1.0
+    g_ne = np.zeros((V, V, V), np.float32)
+
+    def loss_at(T, scale):
+        icc = IterativeCollisionCheck(
+            [T], [pts], [sdf], [pitch / scale], [origin],
+            upsample_observed_grid(g_t, scale)[None],
+            upsample_observed_grid(g_ne, scale)[None],
+            voxel_dim=V * scale,
+        )
+        loss, _, _ = icc.loss_components()
+        return loss
+
+    T_gt = np.eye(4, dtype=np.float32)
+    T_far = np.eye(4, dtype=np.float32)
+    T_far[:3, 3] = [0.05, 0.0, 0.0]
+    for scale in (1, 2):
+        l_gt, l_far = loss_at(T_gt, scale), loss_at(T_far, scale)
+        assert np.isfinite(l_gt) and np.isfinite(l_far)
+        assert l_gt < l_far, (scale, l_gt, l_far)
