@@ -52,6 +52,14 @@ class CheckpointManager:
                 force=True,
             )
             self._ckpt.wait_until_finished()
+            # Always pair the orbax dir with the git-committable bf16
+            # npz archive. Lesson of rounds 3-4: VM wipes (7 so far)
+            # destroy orbax snapshot dirs mid-campaign; the ~48 MB npz
+            # is the only form that survives (committed to git by the
+            # campaign guardian the moment validation improves).
+            export_params_npz(
+                params, self._path(f"snapshot_model_best_{safe}.npz")
+            )
         return improved
 
     def restore_latest(self, target: Any) -> Optional[Any]:
