@@ -185,6 +185,109 @@ def instances_from_predictions(
     return instance_label, instance_to_class
 
 
+def merge_occlusion_splits(
+    instance_label: np.ndarray,
+    instance_to_class: Dict[int, int],
+    class_map: np.ndarray,
+    gap: int = 8,
+    min_frac: float = 0.25,
+) -> Tuple[np.ndarray, Dict[int, int]]:
+    """Merge same-class instance fragments that an occluder split apart.
+
+    Round-4 measured failure (docs/results/r4_seg_per_class.json): the
+    boundary head over-splits heavily occluded instances — one object
+    whose visible mask is cut in two by an occluder becomes two
+    predicted instances (precision 0.769 -> 0.691, foam_brick detection
+    0.53). The reference's Mask R-CNN predicts whole-instance masks and
+    is immune (`examples/ycb_video/instance_segm/train_multi.py`); a
+    dense class+boundary head needs this post-pass.
+
+    Decision per same-class instance pair:
+
+    - a splinter (< ``min_frac`` the area of the other) within ``gap``
+      px of it is carve debris: merge regardless of what separates
+      them (the relative minimum-component-size rule);
+    - comparable-size instances that are directly ADJACENT were split
+      on purpose by the boundary head (carved pixels are flooded back
+      onto the cores, so a deliberate split leaves a zero-width seam):
+      keep the split — scenes sample classes with replacement, touching
+      duplicates occur (``simulation/scene_generation.py:325``);
+    - comparable-size, non-adjacent instances whose ``gap``-dilations
+      overlap merge iff the separating band (overlap minus both masks)
+      is dominated by OTHER-class foreground — an occluder cut one
+      object in two. A background-dominated band means genuinely
+      separate objects.
+
+    Transitive merges resolve by union-find; output ids are compacted.
+    """
+    fragments: Dict[int, list] = {}
+    for iid, cid in instance_to_class.items():
+        fragments.setdefault(cid, []).append(iid)
+
+    parent = {iid: iid for iid in instance_to_class}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    import cv2
+
+    kernel = np.ones((2 * gap + 1,) * 2, np.uint8)
+    for cid, ids in fragments.items():
+        if len(ids) < 2:
+            continue
+        masks = {i: instance_label == i for i in ids}
+        areas = {i: int(masks[i].sum()) for i in ids}
+        dil = {
+            i: cv2.dilate(masks[i].astype(np.uint8), kernel).astype(bool)
+            for i in ids
+        }
+        k3 = np.ones((3, 3), np.uint8)
+        for a_i, i in enumerate(ids):
+            for j in ids[a_i + 1:]:
+                band = dil[i] & dil[j] & ~masks[i] & ~masks[j]
+                adjacent = bool(
+                    (
+                        cv2.dilate(
+                            masks[i].astype(np.uint8), k3
+                        ).astype(bool)
+                        & masks[j]
+                    ).any()
+                )
+                small, big = sorted((areas[i], areas[j]))
+                if small < min_frac * big:
+                    if adjacent or band.any():
+                        union(i, j)
+                    continue
+                if adjacent or not band.any():
+                    continue
+                cm = class_map[band]
+                n_occ = int(((cm > 0) & (cm != cid)).sum())
+                n_bg = int((cm == 0).sum())
+                if n_occ > n_bg:
+                    union(i, j)
+
+    roots = sorted({find(i) for i in instance_to_class})
+    remap = {}
+    for new_id, root in enumerate(roots):
+        remap[root] = new_id
+    lut = {i: remap[find(i)] for i in instance_to_class}
+    out_label = np.full_like(instance_label, -1)
+    for iid, nid in lut.items():
+        out_label[instance_label == iid] = nid
+    out_classes = {
+        remap[root]: instance_to_class[root] for root in roots
+    }
+    return out_label, out_classes
+
+
 def instances_from_class_map(
     class_map: np.ndarray,
     scores: np.ndarray = None,
@@ -289,11 +392,13 @@ class SegmentationNode:
         params,
         min_area: int = 50,
         device_instancing: bool = True,
+        merge_splits: bool = True,
     ):
         self._model = model
         self._params = params
         self._min_area = min_area
         self._device_instancing = device_instancing
+        self._merge_splits = merge_splits
 
         def forward(p, rgb, depth):
             kwargs = {}
@@ -340,16 +445,22 @@ class SegmentationNode:
             from ..ops.connected_components import relabel_components
 
             class_map, comp = jax.device_get(self._predict(*args))
-            return relabel_components(
+            label, classes = relabel_components(
                 comp, class_map, min_area=self._min_area
             )
-        class_map, bnd = jax.device_get(self._predict(*args))
-        return instances_from_predictions(
-            np.asarray(class_map)[0],
-            (
-                None
-                if not self._model.with_boundary
-                else np.asarray(bnd)[0]
-            ),
-            min_area=self._min_area,
-        )
+            cm = np.asarray(class_map)
+        else:
+            class_map, bnd = jax.device_get(self._predict(*args))
+            cm = np.asarray(class_map)[0]
+            label, classes = instances_from_predictions(
+                cm,
+                (
+                    None
+                    if not self._model.with_boundary
+                    else np.asarray(bnd)[0]
+                ),
+                min_area=self._min_area,
+            )
+        if self._merge_splits:
+            label, classes = merge_occlusion_splits(label, classes, cm)
+        return label, classes
