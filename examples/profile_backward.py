@@ -33,6 +33,11 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--steps", type=int, default=15)
+    parser.add_argument(
+        "--align-only", action="store_true",
+        help="run only A/G/H (the round-5 MXU-alignment probe) — the "
+        "round-4 ablations B-F are committed in docs/BENCH_NOTES.md",
+    )
     args = parser.parse_args()
 
     import jax
@@ -62,14 +67,15 @@ def main():
             jax.lax.stop_gradient(grid), points, batch_indices
         )
 
-    def run_variant(name, dtype, interp=None, symmetric=True):
+    def run_variant(name, dtype, interp=None, symmetric=True, **mkw):
         import morefusion_tpu.models.singleview_3d as sv3d
 
         if interp is not None:
             sv3d.F.interpolate_voxel_grid = interp
         try:
             model = models.SingleView3D(
-                n_fg_class=21, with_occupancy=True, compute_dtype=dtype
+                n_fg_class=21, with_occupancy=True, compute_dtype=dtype,
+                **mkw,
             )
             state = trainer_module.create_train_state(
                 model, batch, rng, with_occupancy=True
@@ -81,6 +87,15 @@ def main():
                 )
             )
             sym = np.bool_(bool(symmetric))
+            flops = None
+            try:
+                ca = step.lower(state, jb, sym, rng).compile()
+                ca = ca.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                pass
             t0 = time.time()
             state, m = step(state, jb, sym, rng)
             jax.device_get(m["loss"])
@@ -93,8 +108,9 @@ def main():
                 state, m = step(state, jb, sym, rng)
             jax.device_get(m["loss"])
             dt = (time.time() - t0) / args.steps
+            tf = f" {flops / dt / 1e12:5.1f} TF/s" if flops else ""
             print(
-                f"{name:44s} {dt * 1e3:7.1f} ms/step "
+                f"{name:44s} {dt * 1e3:7.1f} ms/step{tf} "
                 f"(compile {compile_s:.0f}s)",
                 flush=True,
             )
@@ -104,23 +120,37 @@ def main():
 
     f32 = jnp.float32
     a = run_variant("A full fp32", f32)
-    b = run_variant("B fp32, interp grid-VJP zeroed", f32,
-                    interp=interp_no_grid_grad)
-    c = run_variant("C fp32, asymmetric loss (no KNN)", f32,
-                    symmetric=False)
-    d = run_variant("D fp32, both ablations", f32,
-                    interp=interp_no_grid_grad, symmetric=False)
-    e = run_variant("E full bf16 compute", jnp.bfloat16)
-    f = run_variant("F fp32, sorted-segment interp VJP", f32,
-                    interp=vox.interpolate_voxel_grid_sorted)
+    if args.align_only:
+        b = c = d = e = f = a
+    else:
+        b = run_variant("B fp32, interp grid-VJP zeroed", f32,
+                        interp=interp_no_grid_grad)
+        c = run_variant("C fp32, asymmetric loss (no KNN)", f32,
+                        symmetric=False)
+        d = run_variant("D fp32, both ablations", f32,
+                        interp=interp_no_grid_grad, symmetric=False)
+        e = run_variant("E full bf16 compute", jnp.bfloat16)
+        f = run_variant("F fp32, sorted-segment interp VJP", f32,
+                        interp=vox.interpolate_voxel_grid_sorted)
+    # VERDICT r4 item 7: MXU-lane alignment of the 3-D tower input —
+    # (64, 8, 96, 16) makes conv3 consume 96+16+16 = 128 channels
+    # instead of 160 (fresh init; cannot warm-start — the probe compares
+    # achieved TFLOP/s, since the variant also removes real FLOPs).
+    g = run_variant("G fp32, conv3-in 128ch (MXU-aligned)", f32,
+                    point_widths=(64, 8, 96, 16))
+    h = run_variant("H bf16, conv3-in 128ch (MXU-aligned)",
+                    jnp.bfloat16, point_widths=(64, 8, 96, 16))
 
     print("\n=== attribution (ms) ===")
-    print(f"interp grid-VJP scatter : {1e3 * (a - b):7.1f}")
-    print(f"ADD-S KNN fwd+bwd       : {1e3 * (a - c):7.1f}")
-    print(f"both                    : {1e3 * (a - d):7.1f}")
-    print(f"bf16-compute saving     : {1e3 * (a - e):7.1f}")
-    print(f"sorted-VJP saving       : {1e3 * (a - f):7.1f} "
-          f"(item-7 kernel attempt; upper bound is A-B)")
+    if not args.align_only:
+        print(f"interp grid-VJP scatter : {1e3 * (a - b):7.1f}")
+        print(f"ADD-S KNN fwd+bwd       : {1e3 * (a - c):7.1f}")
+        print(f"both                    : {1e3 * (a - d):7.1f}")
+        print(f"bf16-compute saving     : {1e3 * (a - e):7.1f}")
+        print(f"sorted-VJP saving       : {1e3 * (a - f):7.1f} "
+              f"(item-7 kernel attempt; upper bound is A-B)")
+    print(f"128ch-aligned fp32 delta: {1e3 * (a - g):7.1f}")
+    print(f"128ch-aligned bf16 delta: {1e3 * (a - h):7.1f}")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,13 @@ class SingleView3D(nn.Module):
     conv3_channels: int = 256
     conv4_channels: int = 512
     tower_widths: tuple = (640, 256, 128)
+    # per-point feature widths (conv1_rgb, conv1_pcd, conv2_rgb,
+    # conv2_pcd); defaults = reference (models/singleview_3d/
+    # pose_net.py fusion widths). The MFU probe tests MXU-lane-aligned
+    # variants (e.g. (64, 8, 96, 16): 96+16+16 occ = 128 channels into
+    # conv3 instead of 160) — changing these changes param shapes, so
+    # non-default values cannot warm-start from committed checkpoints.
+    point_widths: tuple = (64, 8, 128, 16)
     # computation dtype for the conv/dense stacks; params stay f32 and the
     # pose outputs (quaternion normalize, translation add) stay f32.
     # bf16 roughly doubles v5e inference throughput.
@@ -68,10 +75,11 @@ class SingleView3D(nn.Module):
             dtype=dt,
         )
 
-        self.conv1_rgb = nn.Dense(64, dtype=dt)
-        self.conv1_pcd = nn.Dense(8, dtype=dt)
-        self.conv2_rgb = nn.Dense(128, dtype=dt)
-        self.conv2_pcd = nn.Dense(16, dtype=dt)
+        w1r, w1p, w2r, w2p = self.point_widths
+        self.conv1_rgb = nn.Dense(w1r, dtype=dt)
+        self.conv1_pcd = nn.Dense(w1p, dtype=dt)
+        self.conv2_rgb = nn.Dense(w2r, dtype=dt)
+        self.conv2_pcd = nn.Dense(w2p, dtype=dt)
 
         if self.with_occupancy:
             self.conv1_occ = nn.Conv(
