@@ -38,6 +38,19 @@ while true; do
     echo "[campaign] RSS exit; relaunching with --resume"
     continue
   fi
-  echo "[campaign] train.py exited $code"
-  exit $code
+  if [ "$code" -eq 0 ]; then
+    echo "[campaign] training complete"
+    exit 0
+  fi
+  # Transient failures (TPU relay wedge, another process holding the
+  # chip) retry with backoff instead of killing the campaign; --resume
+  # picks up from the latest trainer snapshot.
+  RETRIES="${RETRIES:-0}"
+  RETRIES=$((RETRIES + 1))
+  if [ "$RETRIES" -gt 30 ]; then
+    echo "[campaign] giving up after $RETRIES failures"
+    exit $code
+  fi
+  echo "[campaign] train.py exited $code; retry $RETRIES in 120s"
+  sleep 120
 done
