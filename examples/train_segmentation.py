@@ -57,6 +57,17 @@ def main():
         help="disable photometric augmentation (contrast/HSV/blur/"
         "resolution, the reference reindexed.py:39-67 stack)",
     )
+    parser.add_argument(
+        "--eval-only", action="store_true",
+        help="skip training; restore the latest checkpoint from --out "
+        "and run the held-out evaluation (same-weights A/B of "
+        "instancing-time choices)",
+    )
+    parser.add_argument(
+        "--no-merge", action="store_true",
+        help="disable merge_occlusion_splits at instancing time "
+        "(round-5 over-splitting fix ablation)",
+    )
     args = parser.parse_args()
 
     # share synthesized frames across processes (a CPU process can
@@ -175,8 +186,16 @@ def main():
 
     state = parallel.replicate(state, mesh)
     log = training.LogReport(args.out)
-    training.write_args(args.out, vars(args))
+    if not args.eval_only:  # keep the training run's args.json intact
+        training.write_args(args.out, vars(args))
     ckpt = training.CheckpointManager(args.out)
+
+    if args.eval_only:
+        restored = ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"--eval-only: no checkpoint under {args.out}")
+        state = restored
+        args.steps = 0
 
     batch_keys = ("rgb", "class_label", "boundary") + (
         ("depth",) if args.use_depth else ()
@@ -211,7 +230,8 @@ def main():
                 )
             if k >= args.steps:
                 break
-    ckpt.save_latest(state, k)
+    if not args.eval_only:
+        ckpt.save_latest(state, k)
 
     # held-out evaluation: mIoU + instance detection rate (+ per-class)
     val = SyntheticInstanceSegmentationDataset(
@@ -223,7 +243,9 @@ def main():
         seed=args.seed + 1,
     )
     params_host = jax.device_get(state.params)
-    node = SegmentationNode(model, params_host)
+    node = SegmentationNode(
+        model, params_host, merge_splits=not args.no_merge
+    )
     mious, matched, n_gt, n_pred = [], 0, 0, 0
     per_class = {}  # cid -> [matched, gt, pred]
     for i in range(len(val)):
@@ -277,7 +299,8 @@ def main():
         )
         for cid, (m, g, p) in sorted(per_class.items())
     }
-    with open(os.path.join(args.out, "per_class.json"), "w") as f:
+    pc_name = "per_class_nomerge.json" if args.no_merge else "per_class.json"
+    with open(os.path.join(args.out, pc_name), "w") as f:
         json.dump(table, f, indent=1)
     worst = sorted(
         table.items(), key=lambda kv: kv[1]["detection"]
