@@ -299,12 +299,16 @@ def main():
         )
         for cid, (m, g, p) in sorted(per_class.items())
     }
-    pc_name = "per_class_nomerge.json" if args.no_merge else "per_class.json"
-    with open(os.path.join(args.out, pc_name), "w") as f:
-        json.dump(table, f, indent=1)
     worst = sorted(
         table.items(), key=lambda kv: kv[1]["detection"]
     )[:5]
+    table["_summary"] = {
+        k2.split("/")[-1]: round(v, 6) if isinstance(v, float) else v
+        for k2, v in summary.items()
+    }
+    pc_name = "per_class_nomerge.json" if args.no_merge else "per_class.json"
+    with open(os.path.join(args.out, pc_name), "w") as f:
+        json.dump(table, f, indent=1)
     print("worst classes:", [(c, round(v["detection"], 2)) for c, v in worst])
 
 
