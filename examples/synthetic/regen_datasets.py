@@ -113,7 +113,7 @@ def main():
     p.add_argument(
         "--stages", nargs="+",
         default=["val", "easyval", "train"],
-        choices=["val", "easyval", "train", "hires"],
+        choices=["val", "easyval", "train", "hires", "easyval-hires"],
     )
     p.add_argument("--train-frames", type=int, default=2200)
     p.add_argument("--train-seed", type=int, default=44000)
@@ -177,6 +177,24 @@ def main():
         pack(
             f"{DATA}/train_tex_hires_s{args.train_seed}_reindexed",
             f"{DATA}/train_tex_hires_s{args.train_seed}_packed",
+        )
+
+    if "easyval-hires" in args.stages:
+        # 480x640 renders of the SAME easy seed-1 scenes, for evaluating
+        # hires-trained checkpoints on a resolution-matched easy val.
+        # No committed class-sequence fingerprint exists yet for this
+        # set, so the first generation's sequence becomes the reference
+        # the moment an eval artifact lands (EVAL_PROTOCOL.md policy);
+        # scene identity vs easyval_s1 cannot be asserted crop-for-crop
+        # (resolution changes reindex visibility inclusion, same as the
+        # hard hires val).
+        run_gen(
+            f"{DATA}/easyval_tex_hires_reindexed", *easy, "--textured",
+            "--image-shape", "480", "640",
+        )
+        pack(
+            f"{DATA}/easyval_tex_hires_reindexed",
+            f"{DATA}/easyval_tex_hires_packed",
         )
 
     print("[regen] all requested stages complete")
