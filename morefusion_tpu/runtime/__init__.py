@@ -22,6 +22,9 @@ from .pipeline import ScenePipeline
 from .replay import SequenceRecorder
 from .replay import load_sequence
 from .replay import play_sequence
+from .planning_scene import CollisionAwareRobot
+from .planning_scene import PlanningScene
+from .planning_scene import SceneObject
 from .robot import PickAction
 from .trajectory_exec import TrajectoryExecutor
 from .trajectory_exec import filter_place_poses
