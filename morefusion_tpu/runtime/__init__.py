@@ -22,6 +22,11 @@ from .pipeline import ScenePipeline
 from .replay import SequenceRecorder
 from .replay import load_sequence
 from .replay import play_sequence
+from .moveit_robot import JOINT_POSITIONS
+from .moveit_robot import MoveItRobotInterface
+from .moveit_robot import RosServiceTransport
+from .moveit_robot import SerialSuction
+from .moveit_robot import build_move_request
 from .planning_scene import CollisionAwareRobot
 from .planning_scene import PlanningScene
 from .planning_scene import SceneObject
