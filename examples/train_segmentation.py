@@ -68,6 +68,11 @@ def main():
         help="disable merge_occlusion_splits at instancing time "
         "(round-5 over-splitting fix ablation)",
     )
+    parser.add_argument(
+        "--min-area", type=int, default=50,
+        help="instancing min component area in px (heavily occluded "
+        "objects leave small visible fragments; sweep with --eval-only)",
+    )
     args = parser.parse_args()
 
     # share synthesized frames across processes (a CPU process can
@@ -244,7 +249,8 @@ def main():
     )
     params_host = jax.device_get(state.params)
     node = SegmentationNode(
-        model, params_host, merge_splits=not args.no_merge
+        model, params_host, merge_splits=not args.no_merge,
+        min_area=args.min_area,
     )
     mious, matched, n_gt, n_pred = [], 0, 0, 0
     per_class = {}  # cid -> [matched, gt, pred]
@@ -307,6 +313,8 @@ def main():
         for k2, v in summary.items()
     }
     pc_name = "per_class_nomerge.json" if args.no_merge else "per_class.json"
+    if args.min_area != 50:
+        pc_name = pc_name.replace(".json", f"_a{args.min_area}.json")
     with open(os.path.join(args.out, pc_name), "w") as f:
         json.dump(table, f, indent=1)
     print("worst classes:", [(c, round(v["detection"], 2)) for c, v in worst])
