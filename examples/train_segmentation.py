@@ -69,6 +69,11 @@ def main():
         "(round-5 over-splitting fix ablation)",
     )
     parser.add_argument(
+        "--fg-weight", type=float, default=1.0,
+        help="foreground pixel weight in the class CE (recall lever "
+        "for heavily occluded objects; 1.0 = plain mean)",
+    )
+    parser.add_argument(
         "--min-area", type=int, default=50,
         help="instancing min component area in px (heavily occluded "
         "objects leave small visible fragments; sweep with --eval-only)",
@@ -162,12 +167,14 @@ def main():
             if with_boundary:
                 logits, blog = out
                 l_cls = segmentation_loss(
-                    logits, batch["class_label"].astype(jnp.int32)
+                    logits, batch["class_label"].astype(jnp.int32),
+                    fg_weight=args.fg_weight,
                 )
                 l_bnd = boundary_loss(blog, batch["boundary"])
                 return l_cls + l_bnd, (l_cls, l_bnd)
             l_cls = segmentation_loss(
-                out, batch["class_label"].astype(jnp.int32)
+                out, batch["class_label"].astype(jnp.int32),
+                fg_weight=args.fg_weight,
             )
             return l_cls, (l_cls, 0.0)
 

@@ -77,17 +77,25 @@ class UNetSegmentation(nn.Module):
         return class_logits, boundary_logits
 
 
-def segmentation_loss(logits, labels, ignore_label: int = -1):
+def segmentation_loss(
+    logits, labels, ignore_label: int = -1, fg_weight: float = 1.0
+):
     """Per-pixel softmax cross-entropy; pixels with ignore_label skipped.
 
     labels: (B, H, W) int32 class ids (0 = background).
+
+    ``fg_weight`` > 1 up-weights foreground pixels: background dominates
+    the pixel count ~10:1, so heavily occluded objects (a few hundred
+    visible px) contribute almost nothing to the plain mean — the
+    round-5 measured recall ceiling (detection 0.81 while precision
+    levers saturate, docs/results/r5_seg_per_class*.json).
     """
     valid = labels != ignore_label
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    ll = jnp.where(valid, ll, 0.0)
-    return -jnp.sum(ll) / jnp.maximum(jnp.sum(valid), 1)
+    w = jnp.where(valid, jnp.where(safe > 0, fg_weight, 1.0), 0.0)
+    return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
 
 def boundary_loss(logits, boundary_true, pos_weight: float = 5.0):

@@ -56,6 +56,36 @@ def test_segmentation_loss_and_overfit(rng):
     assert losses[-1] < losses[0] * 0.7  # overfits a single frame
 
 
+def test_segmentation_loss_fg_weight():
+    # 1 fg pixel badly predicted among 15 perfect bg pixels: up-weighting
+    # foreground must raise the mean loss; fg_weight=1 is the plain mean.
+    logits = np.zeros((1, 4, 4, 3), np.float32)
+    logits[..., 0] = 5.0  # confident background everywhere
+    labels = np.zeros((1, 4, 4), np.int32)
+    labels[0, 1, 1] = 2  # one foreground pixel, mispredicted
+    plain = float(segmentation_loss(logits, labels))
+    weighted = float(
+        segmentation_loss(
+            logits, labels, fg_weight=10.0
+        )
+    )
+    assert weighted > plain * 3  # fg term dominates once up-weighted
+    same = float(
+        segmentation_loss(
+            logits, labels, fg_weight=1.0
+        )
+    )
+    assert np.isclose(same, plain)
+    # ignore_label pixels carry zero weight regardless of fg_weight
+    labels[0, 2, 2] = -1
+    ig = float(
+        segmentation_loss(
+            logits, labels, fg_weight=10.0
+        )
+    )
+    assert np.isfinite(ig)
+
+
 def test_instances_from_class_map():
     cm = np.zeros((64, 64), np.int32)
     cm[5:25, 5:25] = 3
