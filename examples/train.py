@@ -76,6 +76,12 @@ def main():
         help="weights-only init from an exported npz checkpoint "
         "(reference train.py:336-337); optimizer starts fresh",
     )
+    parser.add_argument(
+        "--pretrained-backbone", default=None,
+        help="graft a pretrain_backbone.py backbone subtree npz under "
+        "the fresh random init (zero-egress stand-in for the "
+        "reference's ImageNet ResNet18, morefusion/models/resnet.py:7-52)",
+    )
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument(
         "--num-workers", type=int, default=0,
@@ -236,6 +242,7 @@ def main():
             seed=args.seed,
             resume=args.resume,
             pretrained_model=args.pretrained_model,
+            pretrained_backbone=args.pretrained_backbone,
             max_steps=args.max_steps,
             args_dict=vars(args),
             num_workers=args.num_workers,

@@ -16,6 +16,7 @@ from .reporting import write_args
 from .checkpoints import (
     CheckpointManager,
     export_params_npz,
+    import_backbone_npz,
     import_params_npz,
 )
 from .data import BatchLoader

@@ -108,6 +108,31 @@ def export_params_npz(params: Any, path: str) -> None:
     os.replace(tmp, path)
 
 
+def import_backbone_npz(variables: Any, path: str) -> Any:
+    """Graft a ``pretrain_backbone.py`` backbone archive into a full
+    variables pytree, leaving every other leaf untouched.
+
+    ``path`` holds a ``{'resnet_extractor': params}`` subtree exported by
+    :func:`export_params_npz`; ``variables`` is the flagship's
+    ``model.init`` output (``{'params': {'resnet_extractor': ..., ...}}``).
+    """
+    inner = variables["params"]
+    tpl = {"resnet_extractor": inner["resnet_extractor"]}
+    loaded = import_params_npz(tpl, path)
+    new_inner = dict(inner)
+    new_inner["resnet_extractor"] = loaded["resnet_extractor"]
+    new_vars = dict(variables)
+    new_vars["params"] = new_inner
+    try:  # preserve FrozenDict-ness across flax versions
+        from flax.core import FrozenDict, freeze
+
+        if isinstance(variables, FrozenDict):
+            new_vars = freeze(new_vars)
+    except ImportError:  # pragma: no cover
+        pass
+    return new_vars
+
+
 def import_params_npz(template: Any, path: str) -> Any:
     """Restore a pytree exported by :func:`export_params_npz`.
 

@@ -144,6 +144,7 @@ def fit(
     seed: int = 0,
     resume: bool = False,
     pretrained_model: Optional[str] = None,
+    pretrained_backbone: Optional[str] = None,
     max_steps: Optional[int] = None,
     args_dict: Optional[dict] = None,
     num_workers: int = 0,
@@ -202,6 +203,17 @@ def fit(
             params=import_params_npz(state.params, pretrained_model)
         )
         print(f"initialized params from {pretrained_model}")
+    if pretrained_backbone:
+        # graft only the 2D extractor subtree (pretrain_backbone.py
+        # export contract); everything else keeps its fresh init —
+        # the zero-egress analogue of the reference's ImageNet-init
+        # ResNet18 (morefusion/models/resnet.py:7-52)
+        from .checkpoints import import_backbone_npz
+
+        state = state.replace(
+            params=import_backbone_npz(state.params, pretrained_backbone)
+        )
+        print(f"initialized backbone from {pretrained_backbone}")
     if resume and ckpt is not None:
         restored = ckpt.restore_latest(state)
         if restored is not None:

@@ -275,3 +275,42 @@ def test_params_npz_roundtrip(tmp_path):
     bad["extra"] = np.ones(2, np.float32)
     with pytest.raises(KeyError):
         training.import_params_npz(bad, path)
+
+
+def test_import_backbone_npz_grafts_subtree_only(tmp_path):
+    """pretrain_backbone.py contract: the archived resnet_extractor
+    subtree replaces the template's; every other leaf is untouched."""
+    pre = {
+        "resnet_extractor": {
+            "conv": {"kernel": np.full((2, 3), 7.0, np.float32)}
+        }
+    }
+    path = str(tmp_path / "backbone.npz")
+    training.export_params_npz(pre, path)
+
+    variables = {
+        "params": {
+            "resnet_extractor": {
+                "conv": {"kernel": np.zeros((2, 3), np.float32)}
+            },
+            "heads": {"bias": np.ones(4, np.float32)},
+        }
+    }
+    out = training.import_backbone_npz(variables, path)
+    np.testing.assert_allclose(
+        out["params"]["resnet_extractor"]["conv"]["kernel"], 7.0, rtol=1e-2
+    )
+    np.testing.assert_array_equal(
+        out["params"]["heads"]["bias"], variables["params"]["heads"]["bias"]
+    )
+    # shape mismatch (different backbone width) must raise, not truncate
+    wrong = {
+        "params": {
+            "resnet_extractor": {
+                "conv": {"kernel": np.zeros((2, 5), np.float32)}
+            },
+            "heads": {"bias": np.ones(4, np.float32)},
+        }
+    }
+    with pytest.raises(ValueError):
+        training.import_backbone_npz(wrong, path)
