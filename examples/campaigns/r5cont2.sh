@@ -24,10 +24,10 @@ DATA="${MFTPU_DATA:-/root/data}"
 cd "$REPO"
 
 while true; do
-  [ -f /tmp/r5seg2_campaign.log ] \
-    && grep -q "\[r5seg2\] done\|\[r5seg2\] giving up" \
-         /tmp/r5seg2_campaign.log && break
-  echo "[r5cont2] waiting for the r5seg2 campaign ..."
+  [ -f /tmp/r5ssl_campaign.log ] \
+    && grep -q "\[r5ssl\] done\|\[r5ssl\] pretrain failed" \
+         /tmp/r5ssl_campaign.log && break
+  echo "[r5cont2] waiting for the r5ssl campaign ..."
   sleep 120
 done
 

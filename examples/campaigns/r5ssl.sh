@@ -13,7 +13,9 @@
 # Reference role: morefusion/models/resnet.py:7-52 (pretrained,
 # frozen-BN ResNet18 under the reference recipe).
 #
-# Waits for the r5cont2 campaign to release the TPU.
+# Waits for the r5seg2 campaign to release the TPU (r5cont2 runs after
+# this — its seed-46000 data generation is the long pole, so this
+# shorter A/B fills the gap).
 #
 # Usage: bash examples/campaigns/r5ssl.sh [EPOCHS]
 set -u
@@ -23,10 +25,10 @@ DATA="${MFTPU_DATA:-/root/data}"
 cd "$REPO"
 
 while true; do
-  [ -f /tmp/r5cont2_campaign.log ] \
-    && grep -q "training complete\|giving up" /tmp/r5cont2_campaign.log \
-    && break
-  echo "[r5ssl] waiting for the r5cont2 campaign ..."
+  [ -f /tmp/r5seg2_campaign.log ] \
+    && grep -q "\[r5seg2\] done\|\[r5seg2\] giving up" \
+         /tmp/r5seg2_campaign.log && break
+  echo "[r5ssl] waiting for the r5seg2 campaign ..."
   sleep 120
 done
 
