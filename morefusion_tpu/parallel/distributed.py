@@ -57,6 +57,29 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(name: str = "mftpu_barrier", timeout_ms: int = 1_200_000) -> None:
+    """Block until every process reaches this point (ChainerMN
+    ``comm``-barrier role).
+
+    Pure coordination-service RPC — no device collective — so it is
+    safe to use *around* compilation: Gloo's CPU-collective context
+    rendezvous at first execution has a hard 30 s window, while two
+    concurrent XLA compiles on a contended host can skew by minutes.
+    Compile first, barrier, then execute together.
+
+    ``name`` must be unique per rendezvous point within a process
+    lifetime.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # initialized outside jax.distributed (no client)
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def _obj_to_array(obj: Any, size: int) -> np.ndarray:
     data = pickle.dumps(obj)
     if len(data) > size - 8:

@@ -71,9 +71,19 @@ def run_scenario():
     state = parallel.replicate(state, mesh)
     sb = parallel.shard_batch(batch, mesh)
 
+    # Pre-compile, then rendezvous: on a contended single-core host two
+    # concurrent XLA compiles can skew by minutes, but Gloo's context
+    # rendezvous at the first collective *execution* has a hard 30 s
+    # window — so compile first, then enter the first execution
+    # together (parallel.barrier is a pure coordination-service RPC).
+    cstep = step.lower(
+        state, sb, np.bool_(False), jax.random.PRNGKey(42)
+    ).compile()
+    parallel.barrier("mp_step_compiled")
+
     losses = []
     for _ in range(2):
-        state, metrics = step(
+        state, metrics = cstep(
             state, sb, np.bool_(False), jax.random.PRNGKey(42)
         )
         losses.append(float(np.asarray(jax.device_get(metrics["loss"]))))
