@@ -22,6 +22,10 @@ RUN="${1:-/root/runs/r5cont2}"
 EPOCHS="${2:-12}"
 DATA="${MFTPU_DATA:-/root/data}"
 cd "$REPO"
+# persistent XLA compile cache: relaunches (RSS exits, kills)
+# skip the multi-minute train-step recompile
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache_train}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 while true; do
   [ -f /tmp/r5ssl_campaign.log ] \

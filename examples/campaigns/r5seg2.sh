@@ -22,6 +22,10 @@ REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 RUN="${1:-/root/runs/r5seg2}"
 FGW="${2:-3.0}"
 cd "$REPO"
+# persistent XLA compile cache: relaunches (RSS exits, kills)
+# skip the multi-minute train-step recompile
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache_train}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 while true; do
   [ -f /tmp/r5cont_campaign.log ] \

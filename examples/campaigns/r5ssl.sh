@@ -23,6 +23,10 @@ REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 EPOCHS="${1:-6}"
 DATA="${MFTPU_DATA:-/root/data}"
 cd "$REPO"
+# persistent XLA compile cache: relaunches (RSS exits, kills)
+# skip the multi-minute train-step recompile
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache_train}"
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 while true; do
   [ -f /tmp/r5seg2_campaign.log ] \
