@@ -28,10 +28,10 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache_
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 while true; do
-  [ -f /tmp/r5ssl_campaign.log ] \
-    && grep -q "\[r5ssl\] done\|\[r5ssl\] pretrain failed" \
-         /tmp/r5ssl_campaign.log && break
-  echo "[r5cont2] waiting for the r5ssl campaign ..."
+  [ -f /tmp/r5seg3_campaign.log ] \
+    && grep -q "\[r5seg3\] done\|\[r5seg3\] giving up" \
+         /tmp/r5seg3_campaign.log && break
+  echo "[r5cont2] waiting for the r5seg3 campaign ..."
   sleep 120
 done
 
